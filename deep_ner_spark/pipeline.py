@@ -1,0 +1,86 @@
+"""Flagship pipeline: point-in-time featurization of agent transcripts.
+
+One DataFrame chain (SURVEY §3 E1 re-expressed for Spark):
+
+    transcripts
+      -> normalize (JVM built-ins, P1)
+      -> tokenize + bounds + shapes + pos/dep (one Arrow UDF per turn)
+      -> fit shape vocab (A1, hash agg + broadcast)           [fit only]
+      -> per-turn feature matrix (Arrow UDF, one-hot scatter)
+      -> sessionize on ts gaps (W4) + forward-fill sparse role/tool (W3)
+      -> lag/lead turn context (W8)
+      -> as-of join latest entity state, zero leakage (J5)
+      -> per-turn output row (features + state + window context)
+
+Shuffle budget: ONE exchange by conv_id serves sessionize, forward-fill,
+lag/lead AND the as-of window (Catalyst reuses the partitioning; the as-of
+union adds the state table to the same exchange).  The vocab fit is a
+separate tiny aggregation over shape strings.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deep_ner_spark.operators.asof import asof_join, asof_join_salted
+from deep_ner_spark.operators.features import fit_shape_vocab, with_feature_matrix
+from deep_ner_spark.operators.tokens import tokenize_turns
+from deep_ner_spark.operators.windows import forward_fill, lag_lead, sessionize
+
+
+def featurize_transcripts(
+    transcripts: DataFrame,
+    entity_state: DataFrame | None = None,
+    vocab: Tuple[str, ...] | None = None,
+    max_seq_length: int = 32,
+    emb_dim: int = 16,
+    session_gap_seconds: float = 1800.0,
+    salted: bool = False,
+    n_salts: int = 8,
+) -> Tuple[DataFrame, Tuple[str, ...]]:
+    """Returns (featurized turns DataFrame, fitted shape vocabulary)."""
+    toks = tokenize_turns(transcripts)
+    if vocab is None:
+        vocab = fit_shape_vocab(toks)
+    feats = with_feature_matrix(toks, vocab, max_seq_length, emb_dim)
+    feats = sessionize(
+        feats, ["conv_id"], "ts", session_gap_seconds, order_cols=["turn_idx"]
+    )
+    feats = forward_fill(feats, ["conv_id"], ["turn_idx"], ["role", "tool"])
+    feats = lag_lead(feats, ["conv_id"], ["turn_idx"], ["n_tokens"], offsets=(1,))
+
+    if entity_state is not None:
+        state = entity_state.withColumnRenamed("entity_id", "conv_id")
+        join = asof_join_salted if salted else asof_join
+        kwargs = {"n_salts": n_salts} if salted else {}
+        feats = join(
+            feats,
+            state.select("conv_id", "ts", "state"),
+            key_cols=["conv_id"],
+            ts_col="ts",
+            state_cols=["state"],
+            seq_col="turn_idx",
+            **kwargs,
+        )
+    out_cols = [
+        "conv_id",
+        "turn_idx",
+        "ts",
+        "session_id",
+        "role_ffill",
+        "tool_ffill",
+        "n_tokens",
+        "n_tokens_lag1",
+        "n_tokens_lead1",
+        "norm_text",
+        "tokens",
+        "starts",
+        "ends",
+        "features",
+    ]
+    if entity_state is not None:
+        out_cols.append("state")
+    return feats.select(*out_cols), vocab

@@ -1,0 +1,133 @@
+"""End-to-end parity: the Spark pipeline reproduces the reference feature
+pipeline (normalize -> tokenize -> shapes -> vocab -> one-hot -> labels ->
+as-of state) allclose at every (entity x timestamp)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deep_ner_spark import datagen, textfns
+from deep_ner_spark.operators.features import (
+    fit_classes_list,
+    fit_shape_vocab,
+    turn_feature_matrix,
+)
+from deep_ner_spark.operators.labeling import label_tokens_colocated
+from deep_ner_spark.operators.tokens import token_table, tokenize_turns
+from deep_ner_spark.pipeline import featurize_transcripts
+
+MAX_SEQ = 32
+EMB = 8
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    t, s, st = datagen.gen_transcripts(n_convs=10, mean_turns=8, seed=11)
+    return (
+        spark.createDataFrame(t),
+        spark.createDataFrame(s),
+        spark.createDataFrame(st),
+        t,
+        s,
+        st,
+    )
+
+
+def reference_vocab(t):
+    """Shapes vocabulary computed the reference way (elmo_ner.py:418-421,492-500)."""
+    counts = {}
+    for text in t["text"]:
+        for tok in textfns.tokenize(textfns.normalize_text(text)):
+            sh = textfns.shape_of_string(tok)
+            if sh:
+                counts[sh] = counts.get(sh, 0) + 1
+    return tuple(s for s in sorted(counts) if counts[s] >= 3)
+
+
+def test_shape_vocab_parity(data, spark):
+    tdf, _, _, t, _, _ = data
+    toks = tokenize_turns(tdf)
+    assert fit_shape_vocab(toks) == reference_vocab(t)
+
+
+def test_classes_list_parity(data, spark):
+    _, sdf, _, _, s, _ = data
+    assert fit_classes_list(sdf) == tuple(sorted(s["ne_type"].unique()))
+
+
+def test_per_turn_text_equality_and_feature_parity(data, spark):
+    """Per-turn text equality under stable ordering + allclose features."""
+    tdf, _, stdf, t, _, st = data
+    out, vocab = featurize_transcripts(
+        tdf, stdf, max_seq_length=MAX_SEQ, emb_dim=EMB
+    )
+    rows = {(r["conv_id"], r["turn_idx"]): r for r in out.collect()}
+    assert len(rows) == len(t)
+
+    want_vocab = reference_vocab(t)
+    assert vocab == want_vocab
+
+    for _, turn in t.iterrows():
+        r = rows[(turn.conv_id, turn.turn_idx)]
+        norm = textfns.normalize_text(turn.text)
+        assert r["norm_text"] == norm  # per-turn text equality (input_hint)
+        triples = textfns.tokenize_with_bounds(norm)
+        toks = [x for x, _, _ in triples]
+        assert r["tokens"] == toks
+        shapes = [textfns.shape_of_string(x) for x in toks]
+        tags = [textfns.heuristic_pos_dep(x, i) for i, x in enumerate(toks)]
+        want = turn_feature_matrix(
+            toks, shapes, [p for p, _ in tags], [d for _, d in tags],
+            want_vocab, MAX_SEQ, EMB,
+        )
+        got = np.array(r["features"], dtype=np.float32)
+        assert got.shape == want.shape
+        assert np.allclose(got, want), (turn.conv_id, turn.turn_idx)
+
+
+def test_asof_state_no_leakage_in_pipeline(data, spark):
+    tdf, _, stdf, t, _, st = data
+    out, _ = featurize_transcripts(tdf, stdf, max_seq_length=8, emb_dim=4)
+    got = {
+        (r["conv_id"], r["turn_idx"]): (tuple(r["state"]) if r["state"] else None)
+        for r in out.collect()
+    }
+    st2 = st.rename(columns={"entity_id": "conv_id"})
+    for _, turn in t.iterrows():
+        cand = st2[(st2.conv_id == turn.conv_id) & (st2.ts <= turn.ts)]
+        want = (
+            tuple(cand.sort_values(["ts", "state_seq"]).iloc[-1]["state"])
+            if len(cand)
+            else None
+        )
+        assert got[(turn.conv_id, turn.turn_idx)] == want
+
+
+def test_labeling_colocated_matches_reference(data, spark):
+    tdf, sdf, _, t, s, _ = data
+    classes = tuple(sorted(s["ne_type"].unique()))
+    toks = tokenize_turns(tdf)
+    lab = label_tokens_colocated(toks, sdf, classes)
+    got = {(r["conv_id"], r["turn_idx"]): r["labels"] for r in lab.collect()}
+    for (conv, tidx), grp in s.groupby(["conv_id", "turn_idx"]):
+        text = textfns.normalize_text(
+            t[(t.conv_id == conv) & (t.turn_idx == tidx)].iloc[0]["text"]
+        )
+        bounds = [(a, b) for _, a, b in textfns.tokenize_with_bounds(text)]
+        ner = {}
+        for _, row in grp.iterrows():
+            ner.setdefault(row.ne_type, []).append((row.start, row.end))
+        paint, i2c = textfns.paint_entity_chars(len(text), classes, ner)
+        want = textfns.token_labels(bounds, paint, i2c, len(bounds)).tolist()
+        assert got[(conv, tidx)] == want, (conv, tidx)
+    # spans actually cover the phrases they claim
+    tok_tbl = token_table(toks)
+    assert tok_tbl.count() > 0
+
+
+def test_entity_spans_slice_to_phrases(data, spark):
+    _, _, _, t, s, _ = data
+    merged = s.merge(t, on=["conv_id", "turn_idx"])
+    phrases = {p for ps in datagen.ENTITY_PHRASES.values() for p in ps}
+    for _, row in merged.iterrows():
+        assert row.text[row.start:row.end] in phrases
