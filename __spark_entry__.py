@@ -1,38 +1,919 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship point-in-time featurization on
+sf0.001.  ``queries()`` exposes one entry per implemented operator from
+SURVEY.md §2 (+ the training-data-pipeline operators); ``oracle_sql()``
+gives the DuckDB-equivalent SQL for every SQL-expressible one.  Column
+names/aliases match pairwise; float outputs are either rank-only, integer
+-cent arithmetic, or bit-identical double expressions.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+SESSION_GAP_US = 1800 * 1_000_000
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package to executors (idempotent; driver may own the session)."""
+    from deep_ner_spark.session import package_zip
+
+    try:
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already added
+
+
+
+def _us(col) -> "F.Column":
+    """unix micros tolerant of TIMESTAMP_NTZ parquet columns."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
+
+
+def _derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript-shaped view over the shared events table.
+
+    (conv_id, turn_idx, role, text, tool, ts) per BASELINE.json input_hint;
+    turn_idx = dense 0-based rank of (ts, event_id) within user.
+    """
+    from deep_ner_spark.operators.windows import with_row_index
+
+    ev = _read(spark, sf_dir, "events")
+    t = with_row_index(ev, ["user_id"], ["ts", "event_id"], "turn_idx")
+    return t.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("turn_idx").cast("int"),
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("event_type"))
+        .alias("role"),
+        F.concat_ws(" ", "event_type", "props").alias("text"),
+        F.when(F.col("event_type") == "click", "browser").alias("tool"),
+        "ts",
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: point-in-time featurization of transcripts derived from the
+    sf0.001 events table + as-of attachment of latest purchase state."""
+    _ensure_shipped(spark)
+    from deep_ner_spark.pipeline import featurize_transcripts
+
+    sf_dir = "/root/testdata/sf0.001"
+    transcripts = _derived_transcripts(spark, sf_dir)
+    ev = _read(spark, sf_dir, "events")
+    state = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("string").alias("entity_id"),
+        "ts",
+        F.array(F.col("value")).alias("state"),
+    )
+    out, _vocab = featurize_transcripts(
+        transcripts, state, max_seq_length=32, emb_dim=16
+    )
+    return out.drop("features", "tokens", "starts", "ends").withColumn(
+        "ts_us", _us("ts")
+    ).drop("ts")
+
+
+# --------------------------------------------------------------------------
+# queries + oracles
+# --------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        _QUERIES[name] = wrapped
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+# --- J5: as-of join ---------------------------------------------------------
+
+
+@_q(
+    "asof_latest_purchase",
+    """
+    SELECT t.event_id,
+           t.user_id,
+           epoch_us(t.ts) AS ts_us,
+           s.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type <> 'purchase') t
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') s
+      ON t.user_id = s.user_id AND t.ts >= s.ts
+    """,
+)
+def q_asof_latest_purchase(spark, sf_dir):
+    """SURVEY J5: latest purchase state attached to every other event,
+    state.ts <= event.ts, zero leakage."""
+    from deep_ner_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    turns = ev.where(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    state = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join(
+        turns, state, ["user_id"], "ts", ["purchase_value"], seq_col="event_id"
+    )
+    return out.select(
+        "event_id", "user_id", _us("ts").alias("ts_us"), "purchase_value"
+    )
+
+
+# --- W4: sessionize ----------------------------------------------------------
+
+
+@_q(
+    "sessionize_events",
+    f"""
+    SELECT event_id, user_id,
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > {SESSION_GAP_US} OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events)
+    """,
+)
+def q_sessionize_events(spark, sf_dir):
+    """SURVEY W4: gap-based sessionize on ts (gap > 30 min)."""
+    from deep_ner_spark.operators.windows import sessionize
+
+    ev = _read(spark, sf_dir, "events")
+    return sessionize(ev, ["user_id"], "ts", 1800.0, ["event_id"]).select(
+        "event_id", "user_id", "session_id"
+    )
+
+
+@_q(
+    "session_stats",
+    f"""
+    WITH s AS (
+      SELECT event_id, user_id, ts, value,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+      FROM (
+        SELECT *,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    > {SESSION_GAP_US} OR
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events))
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(event_id) AS first_event,
+           max(event_id) AS last_event,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_session_stats(spark, sf_dir):
+    """Per-session aggregates (exact integer-cent arithmetic)."""
+    from deep_ner_spark.operators.windows import sessionize
+
+    ev = _read(spark, sf_dir, "events")
+    s = sessionize(ev, ["user_id"], "ts", 1800.0, ["event_id"])
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+        (_us(F.max("ts")) - _us(F.min("ts"))).alias("duration_us"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("value_cents"),
+    )
+
+
+# --- W8: lag/lead ------------------------------------------------------------
+
+
+@_q(
+    "lag_lead_value",
+    """
+    SELECT event_id,
+           lag(value)  OVER w AS value_lag1,
+           lead(value) OVER w AS value_lead1
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_lag_lead_value(spark, sf_dir):
+    """SURVEY W8: lag/lead over turn order."""
+    from deep_ner_spark.operators.windows import lag_lead
+
+    ev = _read(spark, sf_dir, "events")
+    out = lag_lead(ev, ["user_id"], ["ts", "event_id"], ["value"], offsets=(1,))
+    return out.select("event_id", "value_lag1", "value_lead1")
+
+
+# --- W3: forward fill --------------------------------------------------------
+
+
+@_q(
+    "ffill_purchase_value",
+    """
+    SELECT event_id,
+           last_value(pv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS purchase_value_ffill
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN event_type = 'purchase' THEN value END AS pv
+          FROM events)
+    """,
+)
+def q_ffill_purchase_value(spark, sf_dir):
+    """SURVEY W3 generalized: forward-fill a sparse feature column."""
+    from deep_ner_spark.operators.windows import forward_fill
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "pv", F.when(F.col("event_type") == "purchase", F.col("value"))
+    )
+    out = forward_fill(ev, ["user_id"], ["ts", "event_id"], ["pv"])
+    return out.select("event_id", F.col("pv_ffill").alias("purchase_value_ffill"))
+
+
+# --- A4: interval merge (gaps-and-islands) -----------------------------------
+
+
+@_q(
+    "merge_value_intervals",
+    """
+    WITH iv AS (
+      SELECT user_id, CAST(floor(value) AS BIGINT) AS start,
+             CAST(floor(value) AS BIGINT) + 25 AS "end"
+      FROM events),
+    flagged AS (
+      SELECT user_id, start, "end",
+             CASE WHEN max("end") OVER (PARTITION BY user_id ORDER BY start, "end"
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= start
+                  THEN 0 ELSE 1 END AS is_new
+      FROM iv),
+    isl AS (
+      SELECT user_id, start, "end",
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY start, "end"
+                  ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged)
+    SELECT user_id, min(start) AS start, max("end") AS "end"
+    FROM isl GROUP BY user_id, island
+    """,
+)
+def q_merge_value_intervals(spark, sf_dir):
+    """SURVEY A4: coalesce overlapping intervals (span-merge semantics)."""
+    from deep_ner_spark.operators.windows import merge_intervals
+
+    ev = _read(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.floor("value").cast("long").alias("start"),
+        (F.floor("value").cast("long") + 25).alias("end"),
+    )
+    return merge_intervals(iv, ["user_id"])
+
+
+# --- W1/W2: BIO encode/decode over a deterministic token stream --------------
+
+_BIO_TOKENS_SQL = """
+    WITH toks AS (
+      SELECT doc_id, unnest(t) AS token,
+             unnest(generate_series(1, len(t))) - 1 AS token_idx
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM documents WHERE doc_id < 200)),
+    pos AS (
+      SELECT doc_id, token_idx, token,
+             CAST(coalesce(sum(length(token) + 1) OVER (PARTITION BY doc_id ORDER BY token_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start,
+             CAST(coalesce(sum(length(token) + 1) OVER (PARTITION BY doc_id ORDER BY token_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + length(token) AS BIGINT) AS "end"
+      FROM toks),
+    inst AS (
+      SELECT *,
+             CASE WHEN token IN ('data', 'spark') THEN
+               CASE WHEN token = lag(token) OVER (PARTITION BY doc_id ORDER BY token_idx)
+                    THEN 0 ELSE 1 END
+             ELSE NULL END AS opens
+      FROM pos),
+    numbered AS (
+      SELECT doc_id, token_idx, token, start, "end",
+             CASE WHEN token IN ('data', 'spark') THEN
+               sum(CASE WHEN opens = 1 THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY token_idx
+                    ROWS UNBOUNDED PRECEDING)
+             ELSE 0 END AS instance_id,
+             CASE WHEN token = 'data' THEN 1 WHEN token = 'spark' THEN 2 ELSE 0 END AS class_id
+      FROM inst)
+    SELECT doc_id, token_idx, start, "end", instance_id, class_id FROM numbered
+"""
+
+
+def _bio_token_stream(spark, sf_dir):
+    """Shared deterministic token stream: runs of 'data' (class 1) and runs
+    of 'spark' (class 2) are entity instances over documents text."""
+    from pyspark.sql.window import Window
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")).alias(
+            "token_idx", "token"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("token_idx")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    toks = toks.withColumn(
+        "start",
+        F.coalesce(F.sum(F.length("token") + 1).over(wprev), F.lit(0)).cast("long"),
+    ).withColumn("end", (F.col("start") + F.length("token")).cast("long"))
+    is_ent = F.col("token").isin("data", "spark")
+    opens = F.when(
+        is_ent & (F.coalesce(F.lag("token").over(w), F.lit("")) != F.col("token")), 1
+    ).otherwise(0)
+    toks = toks.withColumn(
+        "instance_id",
+        F.when(is_ent, F.sum(opens).over(wcum)).otherwise(F.lit(0)).cast("long"),
+    ).withColumn(
+        "class_id",
+        F.when(F.col("token") == "data", 1)
+        .when(F.col("token") == "spark", 2)
+        .otherwise(0)
+        .cast("long"),
+    )
+    return toks
+
+
+@_q(
+    "bio_encode_tokens",
+    f"""
+    WITH base AS ({_BIO_TOKENS_SQL})
+    SELECT doc_id, token_idx,
+           CAST(CASE WHEN instance_id <= 0 THEN 0
+                WHEN instance_id = lag(instance_id) OVER (PARTITION BY doc_id ORDER BY token_idx)
+                THEN 2 * class_id - 1
+                ELSE 2 * class_id END AS INT) AS bio_label
+    FROM base
+    """,
+)
+def q_bio_encode_tokens(spark, sf_dir):
+    """SURVEY W1: BIO integer encode (B=2k even / I=2k-1 odd)."""
+    from deep_ner_spark.operators.windows import bio_encode_window
+
+    toks = _bio_token_stream(spark, sf_dir)
+    return bio_encode_window(toks, ["doc_id"], ["token_idx"]).select(
+        "doc_id", "token_idx", "bio_label"
+    )
+
+
+@_q(
+    "bio_decode_islands",
+    f"""
+    WITH base AS ({_BIO_TOKENS_SQL}),
+    enc AS (
+      SELECT doc_id, token_idx, start, "end",
+             CASE WHEN instance_id <= 0 THEN 0
+                  WHEN instance_id = lag(instance_id) OVER (PARTITION BY doc_id ORDER BY token_idx)
+                  THEN 2 * class_id - 1
+                  ELSE 2 * class_id END AS bio_label
+      FROM base),
+    marked AS (
+      SELECT *,
+             bio_label > 0 AND CAST((bio_label - 1) // 2 AS INT) < 2 AS valid,
+             CASE WHEN bio_label > 0 THEN CAST((bio_label - 1) // 2 AS INT) + 1 ELSE 0 END AS cls
+      FROM enc),
+    opened AS (
+      SELECT *,
+             CASE WHEN valid AND (
+                    lag(valid) OVER w IS NULL OR NOT lag(valid) OVER w
+                    OR bio_label % 2 = 0
+                    OR lag(cls) OVER w <> cls)
+                  THEN 1 ELSE 0 END AS opens
+      FROM marked
+      WINDOW w AS (PARTITION BY doc_id ORDER BY token_idx)),
+    isl AS (
+      SELECT *, sum(opens) OVER (PARTITION BY doc_id ORDER BY token_idx
+                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM opened)
+    SELECT doc_id, CAST(min(cls) AS INT) AS class_id,
+           min(start) AS start, max("end") AS "end"
+    FROM isl WHERE valid GROUP BY doc_id, island
+    """,
+)
+def q_bio_decode_islands(spark, sf_dir):
+    """SURVEY W2: BIO decode via gaps-and-islands -> entity char spans."""
+    from deep_ner_spark.operators.windows import bio_decode_window, bio_encode_window
+
+    toks = _bio_token_stream(spark, sf_dir)
+    enc = bio_encode_window(toks, ["doc_id"], ["token_idx"])
+    return bio_decode_window(
+        enc, ["doc_id"], ["token_idx"], "bio_label", 2
+    ).select("doc_id", F.col("class_id").cast("int").alias("class_id"), "start", "end")
+
+
+# --- A3: P/R/F1 rollup -------------------------------------------------------
+
+
+@_q(
+    "prf1_rollup",
+    """
+    WITH m AS (
+      SELECT event_type AS ne_class,
+             count(*) FILTER (value > 100) AS tp,
+             count(*) FILTER (value <= 100 AND value > 10) AS fp,
+             count(*) FILTER (value <= 10) AS fn
+      FROM events GROUP BY ROLLUP (event_type))
+    SELECT ne_class, tp, fp, fn,
+           tp / greatest(tp + fp, 1) AS precision,
+           tp / greatest(tp + fn, 1) AS recall
+    FROM m
+    """,
+)
+def q_prf1_rollup(spark, sf_dir):
+    """SURVEY A3: per-class micro metrics + grand-total rollup row."""
+    ev = _read(spark, sf_dir, "events")
+    m = ev.rollup("event_type").agg(
+        F.count(F.when(F.col("value") > 100, 1)).alias("tp"),
+        F.count(F.when((F.col("value") <= 100) & (F.col("value") > 10), 1)).alias("fp"),
+        F.count(F.when(F.col("value") <= 10, 1)).alias("fn"),
+    )
+    return m.select(
+        F.col("event_type").alias("ne_class"),
+        "tp",
+        "fp",
+        "fn",
+        (F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))).alias("precision"),
+        (F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))).alias("recall"),
+    )
+
+
+# --- A2/A6/A7: distinct classes, max turn count, length stats ----------------
+
+
+@_q("classes_distinct", "SELECT DISTINCT event_type FROM events ORDER BY event_type")
+def q_classes_distinct(spark, sf_dir):
+    """SURVEY A2: sorted distinct classes."""
+    return (
+        _read(spark, sf_dir, "events").select("event_type").distinct().orderBy("event_type")
+    )
+
+
+@_q(
+    "corpus_stats",
+    """
+    WITH n AS (SELECT len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+               FROM documents)
+    SELECT max(n_tokens) AS max_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           median(n_tokens) AS median_tokens
+    FROM n
+    """,
+)
+def q_corpus_stats(spark, sf_dir):
+    """SURVEY A6/A7: corpus max/total/median token counts (exact percentile)."""
+    docs = _read(spark, sf_dir, "documents")
+    n = docs.select(
+        F.size(F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")).alias(
+            "n_tokens"
+        )
+    )
+    return n.agg(
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.expr("percentile(n_tokens, 0.5)").alias("median_tokens"),
+    )
+
+
+# --- P1: normalization -------------------------------------------------------
+
+
+@_q(
+    "normalize_dashes",
+    """
+    SELECT doc_id,
+           replace(replace(replace(replace(substr(text, 1, 40) || chr(8212) || 'x' || chr(8211) || 'y' || chr(9) || 'z',
+             chr(8212), '-'), chr(8211), '-'), chr(9), ' '), chr(10), ' ') AS norm_text
+    FROM documents
+    """,
+)
+def q_normalize_dashes(spark, sf_dir):
+    """SURVEY P1: dash folding + whitespace normalization (length-preserving)."""
+    from deep_ner_spark.functions.text import normalize_text_col
+
+    docs = _read(spark, sf_dir, "documents")
+    decorated = F.concat(
+        F.substring("text", 1, 40),
+        F.lit("—x–y\tz"),
+    )
+    return docs.select("doc_id", normalize_text_col(decorated).alias("norm_text"))
+
+
+# --- tokenizer + shapes ------------------------------------------------------
+
+
+@_q(
+    "token_explode",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(t) AS token,
+             unnest(generate_series(1, len(t))) - 1 AS token_idx
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents))
+    SELECT doc_id, token_idx, token,
+           CAST(coalesce(sum(length(token) + 1) OVER (PARTITION BY doc_id ORDER BY token_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS start,
+           CAST(coalesce(sum(length(token) + 1) OVER (PARTITION BY doc_id ORDER BY token_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + length(token) AS INT) AS "end"
+    FROM toks
+    """,
+)
+def q_token_explode(spark, sf_dir):
+    """SURVEY W5/J4: pinned tokenizer + char bounds, long-form token table."""
+    from deep_ner_spark.operators.tokens import token_table, tokenize_turns
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = tokenize_turns(docs, "text")
+    long = token_table(toks, keep_cols=["doc_id"])
+    return long.select("doc_id", "token_idx", "token", "start", "end")
+
+
+@_q(
+    "shape_strings",
+    """
+    WITH toks AS (
+      SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents),
+    dec AS (SELECT token, upper(substr(token, 1, 1)) || substr(token, 2) || '-12' AS decorated
+            FROM toks)
+    SELECT token,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             translate(decorated,
+               'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-',
+               'AAAAAAAAAAAAAAAAAAAAAAAAAAaaaaaaaaaaaaaaaaaaaaaaaaaaDDDDDDDDDDP'),
+             'A+', 'A', 'g'), 'a+', 'a', 'g'), 'D+', 'D', 'g'), 'P+', 'P', 'g') AS shape
+    FROM dec
+    """,
+)
+def q_shape_strings(spark, sf_dir):
+    """SURVEY P2: token shape (classify chars, collapse runs) on decorated
+    tokens (Upper + '-12' suffix exercises A/a/P/D classes)."""
+    from deep_ner_spark.functions.text import shape_udf
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")).alias(
+            "token"
+        )
+    ).distinct()
+    decorated = F.concat(
+        F.upper(F.substring("token", 1, 1)),
+        F.expr("substring(token, 2)"),
+        F.lit("-12"),
+    )
+    return toks.select("token", shape_udf(decorated).alias("shape"))
+
+
+@_q(
+    "shape_vocab",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents),
+    mixed AS (
+      SELECT regexp_replace(regexp_replace(regexp_replace(
+               translate(upper(substr(token, 1, 1)) || substr(token, 2),
+                 'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789',
+                 'AAAAAAAAAAAAAAAAAAAAAAAAAAaaaaaaaaaaaaaaaaaaaaaaaaaaDDDDDDDDDD'),
+               'A+', 'A', 'g'), 'a+', 'a', 'g'), 'D+', 'D', 'g') AS shape
+      FROM toks)
+    SELECT shape, count(*) AS cnt FROM mixed
+    GROUP BY shape HAVING count(*) >= 3 ORDER BY shape
+    """,
+)
+def q_shape_vocab(spark, sf_dir):
+    """SURVEY A1: fitted shape vocabulary (freq >= 3, sorted) over initcapped
+    tokens (so 'A' and 'Aa' both appear)."""
+    from deep_ner_spark.functions.text import shape_udf
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")).alias(
+            "token"
+        )
+    )
+    decorated = F.concat(F.upper(F.substring("token", 1, 1)), F.expr("substring(token, 2)"))
+    return (
+        toks.select(shape_udf(decorated).alias("shape"))
+        .groupBy("shape")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= 3)
+        .orderBy("shape")
+    )
+
+
+# --- text stats / quality / langid / fingerprint ------------------------------
+
+
+@_q(
+    "quality_features",
+    """
+    WITH base AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(t) AS n_tokens,
+           length(regexp_replace(text, '\\s', '', 'g')) / greatest(len(t), 1) AS mean_token_len,
+           len(list_filter(t, x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','this','be','are')))
+             / greatest(len(t), 1) AS stopword_ratio,
+           (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / greatest(length(text), 1) AS punct_ratio,
+           len(list_distinct(t)) AS n_distinct_tokens,
+           len(list_distinct(t)) / greatest(len(t), 1) AS distinct_ratio
+    FROM base
+    """,
+)
+def q_quality_features(spark, sf_dir):
+    """Training-data quality features (length/punct/stopword heuristics)."""
+    from deep_ner_spark.operators.textstats import quality_features
+
+    docs = _read(spark, sf_dir, "documents")
+    out = quality_features(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long"),
+        F.col("n_tokens").cast("long"),
+        "mean_token_len",
+        "stopword_ratio",
+        "punct_ratio",
+        F.col("n_distinct_tokens").cast("long"),
+        "distinct_ratio",
+    )
+
+
+@_q(
+    "lang_id",
+    """
+    WITH base AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+    SELECT doc_id,
+           CASE WHEN len(list_filter(t, x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','this','be','are')))
+                     / greatest(len(t), 1) >= 0.05
+                THEN 'en' ELSE 'unk' END AS lang_pred
+    FROM base
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic (stopword ratio)."""
+    from deep_ner_spark.operators.textstats import lang_id
+
+    return lang_id(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_q(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\\s+'))), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """Order-invariant content fingerprint (md5 of sorted distinct tokens)."""
+    from deep_ner_spark.operators.textstats import doc_fingerprint
+
+    return doc_fingerprint(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# --- dedup family -------------------------------------------------------------
+
+
+@_q(
+    "exact_dup_groups",
+    """
+    SELECT md5(text) AS text_hash, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q_exact_dup_groups(spark, sf_dir):
+    """Exact dedup groups by content hash."""
+    from deep_ner_spark.operators.dedup import exact_dedup_groups
+
+    out = exact_dedup_groups(
+        _read(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    return out.select("text_hash", "n_copies")
+
+
+@_q(
+    "jaccard_pairs",
+    """
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+               i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+)
+def q_jaccard_pairs(spark, sf_dir):
+    """Near-dup pairs by 3-gram Jaccard >= 0.5 (shared-shingle candidates)."""
+    from deep_ner_spark.operators.dedup import jaccard_pairs
+
+    out = jaccard_pairs(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+    return out.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        "inter",
+        "size_a",
+        "size_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+@_q(
+    "minhash_signatures",
+    """
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+               i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks)),
+    expanded AS (SELECT doc_id, shingle, unnest(generate_series(0, 7)) AS h_idx FROM sh)
+    SELECT doc_id, h_idx, min(md5(shingle || ':' || h_idx)) AS minhash
+    FROM expanded GROUP BY 1, 2
+    """,
+)
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures, 8 portable md5-based hash slots, long form."""
+    from deep_ner_spark.operators.dedup import minhash_signatures
+
+    out = minhash_signatures(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, n=3
+    )
+    return out.select("doc_id", F.col("h_idx").cast("long"), "minhash")
+
+
+@_q(
+    "lsh_candidates",
+    """
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+               i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks)),
+    expanded AS (SELECT doc_id, shingle, unnest(generate_series(0, 7)) AS h_idx FROM sh),
+    sig AS (SELECT doc_id, h_idx, min(md5(shingle || ':' || h_idx)) AS minhash
+            FROM expanded GROUP BY 1, 2),
+    banded AS (
+      SELECT doc_id, CAST(h_idx // 4 AS INT) AS band,
+             md5(string_agg(h_idx || ':' || minhash, '|' ORDER BY h_idx || ':' || minhash)) AS bucket
+      FROM sig GROUP BY 1, 2)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b USING (band, bucket)
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def q_lsh_candidates(spark, sf_dir):
+    """MinHash-LSH banding candidates (band size 4 over 8 hashes)."""
+    from deep_ner_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    sig = minhash_signatures(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, n=3
+    )
+    out = lsh_candidate_pairs(sig, "doc_id", band_size=4)
+    return out.select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+
+
+@_q(
+    "simhash_bits",
+    """
+    WITH toks AS (
+      SELECT doc_id, md5(unnest(string_split_regex(trim(text), '\\s+'))) AS h
+      FROM documents WHERE doc_id < 100),
+    bits AS (
+      SELECT doc_id, h, unnest(generate_series(0, 63)) AS b FROM toks),
+    scored AS (
+      SELECT doc_id, b,
+             ((strpos('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1)
+               >> (b % 4)) & 1 AS bit
+      FROM bits)
+    SELECT doc_id, b, CAST(CASE WHEN sum(bit * 2 - 1) > 0 THEN 1 ELSE 0 END AS INT) AS bit
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def q_simhash_bits(spark, sf_dir):
+    """SimHash bit vector (long form, engine-portable md5 bit derivation)."""
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")).alias(
+            "token"
+        ),
+    ).select("doc_id", F.md5("token").alias("h"))
+    bits = toks.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b")
+    ).withColumn(
+        "hexd",
+        F.expr("instr('0123456789abcdef', substring(h, CAST(b / 4 AS INT) + 1, 1)) - 1"),
+    ).withColumn("bit", F.expr("shiftright(hexd, CAST(b % 4 AS INT)) & 1"))
+    return (
+        bits.groupBy("doc_id", F.col("b").cast("long").alias("b"))
+        .agg(
+            F.when(F.sum(F.col("bit") * 2 - 1) > 0, 1).otherwise(0).cast("int").alias("bit")
+        )
+    )
+
+
+# --- similarity search --------------------------------------------------------
+
+
+@_q(
+    "cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    d AS (SELECT vec_id AS neighbor_id, embedding AS dv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, dv) AS cos
+          FROM q, d WHERE query_id <> neighbor_id),
+    r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM s)
+    SELECT query_id, rnk, neighbor_id FROM r WHERE rnk <= 3
+    """,
+)
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline (rank-stable output)."""
+    from deep_ner_spark.operators.similarity import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = cosine_topk(emb, queries, "vec_id", "embedding", k=3)
+    return out.select("query_id", F.col("rank").cast("long").alias("rnk"), "neighbor_id")
+
+
+# --- flagship featurize (rows-only: feature matrices are not SQL) -------------
+
+
+@_q("flagship_featurize")
+def q_flagship_featurize(spark, sf_dir):
+    """Full point-in-time featurization over derived transcripts (rows-only
+    check: per-turn feature matrices + as-of state are validated by the
+    pytest parity suite instead)."""
+    from deep_ner_spark.pipeline import featurize_transcripts
+
+    transcripts = _derived_transcripts(spark, sf_dir)
+    ev = _read(spark, sf_dir, "events")
+    state = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("string").alias("entity_id"),
+        "ts",
+        F.array(F.col("value")).alias("state"),
+    )
+    out, _ = featurize_transcripts(transcripts, state, max_seq_length=16, emb_dim=8)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "session_id",
+        "role_ffill",
+        "n_tokens",
+        F.col("state").getItem(0).alias("state_value"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -1,0 +1,137 @@
+"""Benchmark: headline queries + the flagship as-of+feature job.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "turns_per_sec": ...}
+
+Input: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) for the shared
+tables; the transcript table (BASELINE.json input_hint shape) is synthesized
+deterministically, scaled with sf, and cached as parquet under /tmp so
+repeat runs measure the engine, not the generator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SEED = 42
+
+# transcript-table scale by sf: ~1.2M turns/sf-unit (sf0.1 -> ~120k turns)
+_SF = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else 0.1
+N_CONVS = max(200, int(30000 * _SF))
+MEAN_TURNS = 40
+
+
+def transcripts_path() -> str:
+    return f"/tmp/deep_ner_bench/transcripts_sf{_SF}_s{SEED}"
+
+
+def ensure_transcripts(spark) -> None:
+    marker = Path(transcripts_path()) / "_SUCCESS_ALL"
+    if marker.exists():
+        return
+    from deep_ner_spark.datagen import write_parquet_tables
+
+    write_parquet_tables(spark, transcripts_path(), N_CONVS, MEAN_TURNS, SEED)
+    marker.touch()
+
+
+def run(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from deep_ner_spark.operators.asof import asof_join
+    from deep_ner_spark.pipeline import featurize_transcripts
+
+    timings: dict[str, float] = {}
+
+    def timed(name, thunk):
+        t0 = time.time()
+        n = thunk()
+        timings[name] = round(time.time() - t0, 3)
+        return n
+
+    ensure_transcripts(spark)
+    base = transcripts_path()
+    transcripts = spark.read.parquet(f"{base}/transcripts.parquet")
+    state = spark.read.parquet(f"{base}/entity_state.parquet")
+
+    # flagship: full point-in-time featurization, counted via a cheap agg so
+    # the measurement is compute + shuffle, not driver collect
+    def flagship():
+        out, _ = featurize_transcripts(
+            transcripts, state, max_seq_length=32, emb_dim=16
+        )
+        return out.select(
+            F.count("*").alias("n"),
+            F.sum(F.crc32(F.col("norm_text"))).alias("chk"),
+            F.sum("n_tokens").alias("tok"),
+        ).collect()[0]["n"]
+
+    n_turns = timed("flagship_featurize", flagship)
+
+    # as-of join alone (the north operator) on the same tables
+    def asof_only():
+        out = asof_join(
+            transcripts,
+            state.withColumnRenamed("entity_id", "conv_id").select(
+                "conv_id", "ts", "state_seq", "state"
+            ),
+            ["conv_id"],
+            "ts",
+            ["state"],
+            seq_col="turn_idx",
+            state_seq_col="state_seq",
+        )
+        return out.select(F.count("*"), F.count("state")).collect()[0][0]
+
+    timed("asof_join", asof_only)
+
+    # headline shared-table queries (driver-contract entries)
+    qs = e.queries()
+    for name in (
+        "sessionize_events",
+        "session_stats",
+        "minhash_signatures",
+        "jaccard_pairs",
+        "cosine_topk",
+        "quality_features",
+        "bio_encode_tokens",
+    ):
+        timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "asof_feature_engine_e2e",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _SF,
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / timings["flagship_featurize"], 1),
+        "cpus": CPUS,
+    }
+
+
+def main():
+    from deep_ner_spark.session import get_spark
+
+    spark = get_spark("deep-ner-bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM/Arrow paths so the measurement isn't first-query JIT
+    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    result = run(spark)
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,229 @@
+"""Deduplication operators for large-scale text corpora.
+
+All-builtin implementations (JVM-side, codegen'd) of the standard dedup
+family: exact hash, n-gram Jaccard, MinHash+LSH banding, SimHash.  Hash
+functions are md5-based so results are engine-portable (the DuckDB oracle
+computes the identical signatures) and stable across runs/cluster sizes —
+no PYTHONHASHSEED, no xxhash seeds.
+
+Scale notes: every operator is a shingle-explode + hash-aggregate — the
+shuffle key is the shingle/bucket hash, which is uniformly distributed, so
+no skew handling is needed.  Candidate generation (LSH bands / shared
+shingles) keeps pair enumeration off the full cross product: pairs exist
+only within a bucket, and bucket sizes are bounded by construction at any
+corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization for shingling (dedup does not need offsets)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (pure built-ins).
+
+    transform over a 0..len-n index sequence; each shingle is the space-join
+    of n consecutive tokens.
+    """
+    toks = tokens_col(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.array_distinct(grams)
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by md5(text): (text_hash, n_copies, doc_ids)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, order_col: str) -> DataFrame:
+    """Keep the first (lowest order_col) row per distinct text hash."""
+    return (
+        df.withColumn("__h", F.md5(F.col(text_col)))
+        .groupBy("__h")
+        .agg(F.min_by(F.struct(*df.columns), F.col(order_col)).alias("r"))
+        .select("r.*")
+    )
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) long form — the substrate for jaccard/minhash."""
+    return df.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard similarity.
+
+    Candidate pairs come from the shared-shingle join (never a cross join);
+    |A ∪ B| = |A| + |B| - |A ∩ B|.  Output: (id_a, id_b, inter, size_a,
+    size_b, jaccard) with id_a < id_b.
+    """
+    sh = doc_shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("size", "size_a")
+    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("size", "size_b")
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16, n: int = 3
+) -> DataFrame:
+    """Long-form MinHash: (id, h_idx, minhash) — minhash over md5 hex strings.
+
+    Lexicographic min over fixed-width hex == numeric min, and md5 is
+    identical across engines, so the oracle can reproduce signatures
+    exactly.  Empty shingle sets yield no rows (doc shorter than n tokens).
+    """
+    sh = doc_shingles(df, id_col, text_col, n)
+    expanded = sh.select(
+        id_col,
+        "shingle",
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("h_idx"),
+    )
+    return (
+        expanded.groupBy(id_col, "h_idx")
+        .agg(
+            F.min(
+                F.md5(F.concat_ws(":", F.col("shingle"), F.col("h_idx")))
+            ).alias("minhash")
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    band_size: int = 4,
+) -> DataFrame:
+    """MinHash-LSH banding: docs sharing any full band are candidates.
+
+    band key = md5 of the concatenated band signature; pairs enumerate
+    within buckets only.  Output: distinct (id_a, id_b), id_a < id_b.
+    """
+    banded = (
+        signatures.withColumn("band", (F.col("h_idx") / band_size).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|", F.sort_array(F.collect_list(F.concat_ws(":", "h_idx", "minhash")))
+                )
+            ).alias("bucket")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over word tokens, engine-portable bit derivation.
+
+    Bit b of token t = bit (b % 4) of hex digit (b / 4) of md5(t).  Per bit
+    position, sum (+1 / -1) over tokens; sign -> bit.  Output: (id, simhash
+    bigint).  Ties (sum == 0) resolve to bit 0.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
+    ).withColumn("h", F.md5("token"))
+    bits = toks.select(
+        id_col,
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+    ).withColumn(
+        "hexd",
+        F.expr("instr('0123456789abcdef', substring(h, CAST(b / 4 AS INT) + 1, 1)) - 1"),
+    ).withColumn("bit", F.expr("shiftright(hexd, CAST(b % 4 AS INT)) & 1"))
+    sums = bits.groupBy(id_col, "b").agg(
+        F.sum(F.col("bit") * 2 - 1).alias("s")
+    )
+    return sums.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def hamming_near_pairs(
+    simhashes: DataFrame, id_col: str, max_hamming: int = 3, n_blocks: int = 4
+) -> DataFrame:
+    """SimHash near-dup candidates via block permutation (pigeonhole).
+
+    Split 64 bits into n_blocks; pairs within hamming distance < n_blocks
+    must share at least one exact block -> bucket join per block, then exact
+    hamming filter via bit_count(xor).
+    """
+    width = 64 // n_blocks
+    blocks = simhashes.select(
+        id_col,
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("blk"),
+    ).withColumn(
+        "blk_val",
+        F.expr(f"shiftrightunsigned(simhash, CAST(blk * {width} AS INT)) & {(1 << width) - 1}"),
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (
+        a.join(b, on=["blk", "blk_val"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ).where(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

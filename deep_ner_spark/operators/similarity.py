@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline (broadcast the query side —
+it is small by definition), and a seeded random-hyperplane LSH variant as
+the 100TB scale path (bucket join instead of full scan).  Dot products use
+built-in higher-order functions (zip_with + aggregate) — JVM-side, no
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def cosine_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine similarity.
+
+    queries is broadcast (small side); the scan over data is a single pass
+    with no shuffle until the per-query top-k window.  Output:
+    (query_id, rank, neighbor_id, cosine).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+    )
+    d = data.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__dv"))
+    pairs = q.crossJoin(d)
+    if not include_self:
+        pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine_col(F.col("__qv"), F.col("__dv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42):
+    """Deterministic random hyperplanes (seeded numpy, no wall clock)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype("float32")
+
+
+def lsh_bucket_col(vec: Column, planes) -> Column:
+    """Sign-bit bucket id from dot products with fixed hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = (dot_col(vec, plane) > 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+def lsh_cosine_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+    include_self: bool = False,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane bucket.
+
+    At 100TB the full scan per query is off the table; this probes one
+    bucket (recall tunes via n_planes; multi-probe = union over neighboring
+    buckets).  Same output schema as cosine_topk.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    d = data.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__dv"),
+        lsh_bucket_col(F.col(vec_col), planes).alias("__bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            lsh_bucket_col(F.col(vec_col), planes).alias("__bucket"),
+        )
+    )
+    pairs = q.join(d, on="__bucket")
+    if not include_self:
+        pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine_col(F.col("__qv"), F.col("__dv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

@@ -1,0 +1,111 @@
+"""Text analysis for training-data pipelines: quality scoring, language ID,
+token counting, fingerprinting.  All pure built-ins (JVM, codegen'd) so the
+DuckDB oracle can reproduce values exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deep_ner_spark.operators.dedup import tokens_col
+
+EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "at", "by", "this", "be", "are",
+)
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def stopword_ratio_col(text: Column, stopwords=EN_STOPWORDS) -> Column:
+    toks = tokens_col(text)
+    stops = F.size(F.filter(toks, lambda t: F.lower(t).isin(*stopwords)))
+    return stops / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio_col(text: Column) -> Column:
+    no_punct = F.regexp_replace(text, r"[^\w\s]", "")
+    return (F.length(text) - F.length(no_punct)) / F.greatest(
+        F.length(text), F.lit(1)
+    )
+
+
+def quality_features(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-doc quality features: lengths, ratios, mean word length.
+
+    These are the length/punct/stopword heuristics a pre-training filter
+    applies before expensive model scoring.
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    return df.select(
+        F.col(id_col),
+        F.length(text).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        (F.length(F.regexp_replace(text, r"\s", "")) / F.greatest(F.size(toks), F.lit(1))).alias(
+            "mean_token_len"
+        ),
+        stopword_ratio_col(text).alias("stopword_ratio"),
+        punct_ratio_col(text).alias("punct_ratio"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))).alias(
+            "distinct_ratio"
+        ),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Composite [0,1] quality score from the feature columns.
+
+    score = 0.4 * min(n_tokens/64, 1) + 0.3 * stopword presence band +
+            0.3 * distinct ratio — a deterministic linear blend, the usual
+    shape of heuristic quality filters.
+    """
+    f = quality_features(df, id_col, text_col)
+    return f.select(
+        id_col,
+        (
+            0.4 * F.least(F.col("n_tokens") / 64.0, F.lit(1.0))
+            + 0.3 * F.when(
+                (F.col("stopword_ratio") >= 0.01) & (F.col("stopword_ratio") <= 0.6),
+                1.0,
+            ).otherwise(0.0)
+            + 0.3 * F.col("distinct_ratio")
+        ).alias("quality_score"),
+    )
+
+
+def lang_id(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.05
+) -> DataFrame:
+    """Stopword-ratio language heuristic: 'en' above threshold else 'unk'.
+
+    A deterministic n-gram-free stand-in for fasttext-style LID, chosen so
+    the SQL oracle reproduces it exactly; swap in a model-backed pandas UDF
+    where a real classifier is available.
+    """
+    return df.select(
+        F.col(id_col),
+        F.when(stopword_ratio_col(F.col(text_col)) >= threshold, "en")
+        .otherwise("unk")
+        .alias("lang_pred"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content fingerprint: md5 of the sorted distinct token set.
+
+    Invariant to token order/duplication — catches shuffled/near-identical
+    docs that exact text hashing misses; engine-portable (md5).
+    """
+    toks = tokens_col(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias(
+            "fingerprint"
+        ),
+    )

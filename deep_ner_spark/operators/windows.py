@@ -35,7 +35,9 @@ def sessionize(
     in (ts, order) order.
     """
     w = _w(key_cols, [ts_col, *order_cols])
-    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+    # cast through TIMESTAMP so TIMESTAMP_NTZ parquet columns work too
+    ts_sec = F.col(ts_col).cast("timestamp").cast("double")
+    gap = ts_sec - F.lag(ts_sec).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
     cum = Window.partitionBy(*key_cols).orderBy(ts_col, *order_cols).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
