@@ -70,8 +70,11 @@ def run(spark) -> dict:
         out, _ = featurize_transcripts(
             transcripts, state, max_seq_length=32, emb_dim=16
         )
+        # consume the feature blobs so the measurement includes assembly +
+        # transfer (a pruned count would skip the UDF entirely)
         return out.select(
             F.count("*").alias("n"),
+            F.sum(F.length("features")).alias("feat_bytes"),
             F.sum(F.crc32(F.col("norm_text"))).alias("chk"),
             F.sum("n_tokens").alias("tok"),
         ).collect()[0]["n"]

@@ -40,12 +40,18 @@ def featurize_transcripts(
     session_gap_seconds: float = 1800.0,
     salted: bool = False,
     n_salts: int = 8,
+    features_fmt: str = "binary",
 ) -> Tuple[DataFrame, Tuple[str, ...]]:
-    """Returns (featurized turns DataFrame, fitted shape vocabulary)."""
+    """Returns (featurized turns DataFrame, fitted shape vocabulary).
+
+    When the vocab is fitted here (two-pass job), the tokenized frame is
+    persisted so the fit pass and the assembly pass share one tokenize run.
+    """
     toks = tokenize_turns(transcripts)
     if vocab is None:
+        toks = toks.persist()
         vocab = fit_shape_vocab(toks)
-    feats = with_feature_matrix(toks, vocab, max_seq_length, emb_dim)
+    feats = with_feature_matrix(toks, vocab, max_seq_length, emb_dim, fmt=features_fmt)
     feats = sessionize(
         feats, ["conv_id"], "ts", session_gap_seconds, order_cols=["turn_idx"]
     )
@@ -80,6 +86,7 @@ def featurize_transcripts(
         "starts",
         "ends",
         "features",
+        "feature_width",
     ]
     if entity_state is not None:
         out_cols.append("state")

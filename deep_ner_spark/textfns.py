@@ -355,6 +355,7 @@ def pos_dep_one_hot(pos: str, dep: str) -> np.ndarray:
 # --- deterministic hash-projection embedder ----------------------------------
 
 
+@lru_cache(maxsize=1 << 18)
 def hash_embedding(token: str, dim: int = 16) -> np.ndarray:
     """Seeded, hermetic stand-in for the ELMo/BERT embedding lookup.
 

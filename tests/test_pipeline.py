@@ -80,9 +80,41 @@ def test_per_turn_text_equality_and_feature_parity(data, spark):
             toks, shapes, [p for p, _ in tags], [d for _, d in tags],
             want_vocab, MAX_SEQ, EMB,
         )
+        from deep_ner_spark.operators.features import decode_feature_matrix
+
+        got = decode_feature_matrix(r["features"], r["feature_width"])
+        n = min(len(toks), MAX_SEQ)
+        # engine emits ragged (real-token rows); reference pads with zeros
+        assert got.shape == (n, want.shape[1])
+        assert np.allclose(got, want[:n]), (turn.conv_id, turn.turn_idx)
+        assert np.allclose(want[n:], 0.0)
+
+
+def test_padded_feature_matrix_parity(data, spark):
+    """padded=True reproduces the reference's full [max_seq, F] matrices."""
+    from deep_ner_spark.operators.features import with_feature_matrix
+    from deep_ner_spark.operators.tokens import tokenize_turns
+
+    tdf, _, _, t, _, _ = data
+    toks = tokenize_turns(tdf)
+    vocab = reference_vocab(t)
+    out = with_feature_matrix(toks, vocab, MAX_SEQ, EMB, padded=True, fmt="array")
+    rows = {(r["conv_id"], r["turn_idx"]): r for r in out.limit(2000).collect()}
+    checked = 0
+    for _, turn in t.head(40).iterrows():
+        r = rows[(turn.conv_id, turn.turn_idx)]
+        toks_ = textfns.tokenize(textfns.normalize_text(turn.text))
+        shapes = [textfns.shape_of_string(x) for x in toks_]
+        tags = [textfns.heuristic_pos_dep(x, i) for i, x in enumerate(toks_)]
+        want = turn_feature_matrix(
+            toks_, shapes, [p for p, _ in tags], [d for _, d in tags],
+            vocab, MAX_SEQ, EMB,
+        )
         got = np.array(r["features"], dtype=np.float32)
         assert got.shape == want.shape
-        assert np.allclose(got, want), (turn.conv_id, turn.turn_idx)
+        assert np.allclose(got, want)
+        checked += 1
+    assert checked == 40
 
 
 def test_asof_state_no_leakage_in_pipeline(data, spark):
