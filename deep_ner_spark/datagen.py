@@ -133,16 +133,26 @@ def spark_transcripts(spark, n_convs=20, mean_turns=10, seed=42, partitions=None
     return tdf, sdf, stdf
 
 
-def write_parquet_tables(spark, out_dir: str, n_convs: int, mean_turns: int = 12, seed: int = 42):
+def write_parquet_tables(
+    spark, out_dir: str, n_convs: int, mean_turns: int = 12, seed: int = 42,
+    n_files: int = 64,
+):
     """Materialize to parquet (bench input), partition layout bucketed by conv.
 
     At cluster scale this would be an Iceberg table partitioned by days(ts)
     and bucketed by conv_id; parquet is the sandbox stand-in with the same
-    layout intent (sorted within files by (conv_id, turn_idx)).
+    layout intent (hash-bucketed by conv_id, sorted within files by
+    (conv_id, turn_idx)).  ``n_files`` sets scan parallelism: parquet splits
+    at row-group grain, so fewer files than cores caps every downstream
+    narrow stage — the single-node analog of "size your input splits".
     """
     tdf, sdf, stdf = spark_transcripts(spark, n_convs, mean_turns, seed)
-    tdf.sortWithinPartitions("conv_id", "turn_idx").write.mode("overwrite").parquet(
-        f"{out_dir}/transcripts.parquet"
+    tdf.repartition(n_files, "conv_id").sortWithinPartitions(
+        "conv_id", "turn_idx"
+    ).write.mode("overwrite").parquet(f"{out_dir}/transcripts.parquet")
+    sdf.repartition(max(8, n_files // 8), "conv_id").write.mode("overwrite").parquet(
+        f"{out_dir}/entity_spans.parquet"
     )
-    sdf.write.mode("overwrite").parquet(f"{out_dir}/entity_spans.parquet")
-    stdf.write.mode("overwrite").parquet(f"{out_dir}/entity_state.parquet")
+    stdf.repartition(max(8, n_files // 8), "entity_id").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/entity_state.parquet")

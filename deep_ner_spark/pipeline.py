@@ -44,26 +44,26 @@ def featurize_transcripts(
 ) -> Tuple[DataFrame, Tuple[str, ...]]:
     """Returns (featurized turns DataFrame, fitted shape vocabulary).
 
-    When the vocab is fitted here (two-pass job), the tokenized frame is
-    persisted so the fit pass and the assembly pass share one tokenize run.
-    """
-    toks = tokenize_turns(transcripts)
-    if vocab is None:
-        toks = toks.persist()
-        vocab = fit_shape_vocab(toks)
-    feats = with_feature_matrix(toks, vocab, max_seq_length, emb_dim, fmt=features_fmt)
-    feats = sessionize(
-        feats, ["conv_id"], "ts", session_gap_seconds, order_cols=["turn_idx"]
-    )
-    feats = forward_fill(feats, ["conv_id"], ["turn_idx"], ["role", "tool"])
-    feats = lag_lead(feats, ["conv_id"], ["turn_idx"], ["n_tokens"], offsets=(1,))
+    Stage order is shuffle-aware: the windowed operators and the as-of join
+    run FIRST, on the slim transcript columns (one small exchange by
+    conv_id), and the tokenizer + feature assembly run LAST as narrow Arrow
+    passes over the already-exchanged rows — the multi-GB feature blobs are
+    produced after the last exchange and never shuffle.  (The reverse
+    order pushed ~20x the bytes through every window exchange.)
 
+    When the vocab is fitted here (two-pass job), the windowed+tokenized
+    frame is persisted so the fit pass and the assembly pass share one
+    tokenize run.
+    """
+    slim = transcripts
     if entity_state is not None:
+        # as-of runs first: its union-tag window hash-partitions by conv_id,
+        # and every later window reuses that partitioning (sorts only)
         state = entity_state.withColumnRenamed("entity_id", "conv_id")
         join = asof_join_salted if salted else asof_join
         kwargs = {"n_salts": n_salts} if salted else {}
-        feats = join(
-            feats,
+        slim = join(
+            slim,
             state.select("conv_id", "ts", "state"),
             key_cols=["conv_id"],
             ts_col="ts",
@@ -71,6 +71,20 @@ def featurize_transcripts(
             seq_col="turn_idx",
             **kwargs,
         )
+    slim = sessionize(
+        slim, ["conv_id"], "ts", session_gap_seconds, order_cols=["turn_idx"]
+    )
+    slim = forward_fill(slim, ["conv_id"], ["turn_idx"], ["role", "tool"])
+
+    toks = tokenize_turns(slim).withColumn(
+        "n_tokens", F.least(F.size("tokens"), F.lit(max_seq_length))
+    )
+    # same hash partitioning as the slim windows -> sort only, no exchange
+    toks = lag_lead(toks, ["conv_id"], ["turn_idx"], ["n_tokens"], offsets=(1,))
+    if vocab is None:
+        toks = toks.persist()
+        vocab = fit_shape_vocab(toks)
+    feats = with_feature_matrix(toks, vocab, max_seq_length, emb_dim, fmt=features_fmt)
     out_cols = [
         "conv_id",
         "turn_idx",
