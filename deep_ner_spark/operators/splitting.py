@@ -1,0 +1,152 @@
+"""Stratified dataset splitting / sampling (SURVEY E2 step 2, SO1;
+dataset_splitting.py:8-115).
+
+Semantics: shuffle sample indices with a seeded rng; accept a split when
+the train- and test-side entity-class sets are EQUAL (a set-equality check,
+SURVEY SO1); retry up to ``n_restarts`` shuffles, remembering the best
+candidate (test classes a subset of train classes); warn and take the last
+shuffle when nothing satisfies.
+
+Spark shape: the class-set per sample is a tiny aggregate
+(``collect_set(ne_type) group by sample``); the shuffle/retry loop runs on
+the driver over (sample_id, class_set) pairs only — never over the data —
+and the result is a broadcast-joinable assignment table, so splitting a
+10^12-row corpus moves one small column, not the corpus.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Tuple
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _class_sets(spans: DataFrame, sample_col: str, class_col: str):
+    rows = (
+        spans.groupBy(sample_col)
+        .agg(F.collect_set(class_col).alias("classes"))
+        .collect()
+    )
+    return {r[sample_col]: frozenset(r["classes"]) for r in rows}
+
+
+def split_assignment(
+    units: DataFrame,
+    spans: DataFrame,
+    test_part: float,
+    seed: int = 42,
+    n_restarts: int = 10,
+    sample_col: str = "sample_id",
+    class_col: str = "ne_type",
+) -> DataFrame:
+    """Returns (sample_id, is_test boolean) assignment table.
+
+    Mirrors split_dataset (dataset_splitting.py:8-73) with a seeded rng in
+    place of global np.random state.
+    """
+    if n_restarts < 2:
+        raise ValueError(f"{n_restarts} is too small value of restarts number.")
+    ids = [r[sample_col] for r in units.select(sample_col).orderBy(sample_col).collect()]
+    n_samples = len(ids)
+    if n_samples < 2:
+        raise ValueError("There are too few samples in the data set!")
+    n_test = int(round(test_part * n_samples))
+    n_train = n_samples - n_test
+    if n_test < 1:
+        raise ValueError(f"{test_part} is too small value of the test part!")
+    if n_train < 1:
+        raise ValueError(f"{test_part} is too large value of the test part!")
+    class_sets = _class_sets(spans, sample_col, class_col)
+
+    rng = np.random.default_rng(seed)
+    indices = np.arange(n_samples)
+
+    def sets_of(split_idx):
+        tr = frozenset().union(*(class_sets.get(ids[i], frozenset()) for i in split_idx[:n_train])) if n_train else frozenset()
+        te = frozenset().union(*(class_sets.get(ids[i], frozenset()) for i in split_idx[n_train:])) if n_test else frozenset()
+        return tr, te
+
+    best = None
+    for _ in range(n_restarts):
+        rng.shuffle(indices)
+        tr, te = sets_of(indices)
+        if tr == te:
+            best = indices.copy()
+            break
+        if te < tr and best is None:
+            best = indices.copy()
+    if best is None:
+        warnings.warn("Data set cannot be splitted by stratified folds.")
+        best = indices
+    else:
+        tr, te = sets_of(best)
+        if tr != te:
+            warnings.warn("Data set cannot be splitted by stratified folds.")
+
+    test_ids = {ids[i] for i in best[n_train:]}
+    spark = units.sparkSession
+    return spark.createDataFrame(
+        [(i, i in test_ids) for i in ids], [sample_col, "is_test"]
+    )
+
+
+def split_dataset_df(
+    units: DataFrame,
+    spans: DataFrame,
+    test_part: float,
+    seed: int = 42,
+    n_restarts: int = 10,
+) -> Tuple[DataFrame, DataFrame]:
+    """(train_units, test_units) via a broadcast join on the assignment."""
+    assign = F.broadcast(split_assignment(units, spans, test_part, seed, n_restarts))
+    joined = units.join(assign, "sample_id")
+    return (
+        joined.where(~F.col("is_test")).drop("is_test"),
+        joined.where(F.col("is_test")).drop("is_test"),
+    )
+
+
+def sample_assignment(
+    units: DataFrame,
+    spans: DataFrame,
+    n: int,
+    seed: int = 42,
+    n_restarts: int = 10,
+    sample_col: str = "sample_id",
+    class_col: str = "ne_type",
+) -> DataFrame:
+    """Stratified subsample keeping all classes when possible
+    (sample_from_dataset, dataset_splitting.py:76-115).  Returns the
+    selected (sample_id) rows."""
+    if n < 1:
+        raise ValueError(f"{n} is wrong size of sampled dataset.")
+    if n_restarts < 2:
+        raise ValueError(f"{n_restarts} is too small value of restarts number.")
+    ids = [r[sample_col] for r in units.select(sample_col).orderBy(sample_col).collect()]
+    n_samples = len(ids)
+    if n_samples < 2:
+        raise ValueError("There are too few samples in the data set!")
+    spark = units.sparkSession
+    if n >= n_samples:
+        return spark.createDataFrame([(i,) for i in ids], [sample_col])
+    class_sets = _class_sets(spans, sample_col, class_col)
+    total = frozenset().union(*class_sets.values()) if class_sets else frozenset()
+    rng = np.random.default_rng(seed)
+    indices = np.arange(n_samples)
+    best = None
+    for _ in range(n_restarts):
+        rng.shuffle(indices)
+        sub = frozenset().union(
+            *(class_sets.get(ids[i], frozenset()) for i in indices[:n])
+        ) if n else frozenset()
+        if sub == total:
+            best = indices.copy()
+            break
+    if best is None:
+        warnings.warn("Data set cannot be splitted by stratified folds.")
+        best = indices
+    chosen = sorted(ids[i] for i in best[:n])
+    return spark.createDataFrame([(i,) for i in chosen], [sample_col])

@@ -347,6 +347,48 @@ def factrueval_to_dataset(
     return docs, ents, bounds
 
 
+def load_task1_predictions(spark: SparkSession, recognized_dir: str) -> DataFrame:
+    """S6 (utils.py:424-495): parse ``.task1`` prediction files.
+
+    Lines ``per|loc|org start len`` -> (base_name, ne_type, start, end)
+    with PER->PERSON / LOC->LOCATION remap; malformed lines raise.
+    """
+    base = F.regexp_extract(F.input_file_name(), r"([^/]+)\.task1$", 1)
+    lines = (
+        spark.read.text(f"{recognized_dir}/*.task1")
+        .select(base.alias("base_name"), F.trim("value").alias("line"))
+        .where(F.length("line") > 0)
+    )
+    parts = F.split("line", r"\s+")
+    parsed = lines.select(
+        "base_name",
+        F.upper(parts.getItem(0)).alias("t"),
+        parts.getItem(1).cast("long").alias("start"),
+        parts.getItem(2).cast("long").alias("len"),
+        F.size(parts).alias("n_fields"),
+    )
+    bad = parsed.where(
+        (F.col("n_fields") != 3)
+        | ~F.col("t").isin("PER", "LOC", "ORG")
+        | F.col("start").isNull()
+        | (F.col("start") < 0)
+        | F.col("len").isNull()
+        | (F.col("len") < 0)
+    )
+    if bad.count() > 0:
+        r = bad.first()
+        raise ValueError(f"Invalid .task1 line in {r['base_name']}")
+    return parsed.select(
+        "base_name",
+        F.when(F.col("t") == "PER", "PERSON")
+        .when(F.col("t") == "LOC", "LOCATION")
+        .otherwise("ORG")
+        .alias("ne_type"),
+        "start",
+        (F.col("start") + F.col("len")).alias("end"),
+    )
+
+
 def write_task1(
     predictions: DataFrame, out_dir: str
 ) -> None:

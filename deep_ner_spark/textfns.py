@@ -221,6 +221,82 @@ def token_labels(
     return res
 
 
+def subword_token_labels(
+    tokens: Sequence[str],
+    bounds: Sequence[Tuple[int, int]],
+    paint: np.ndarray,
+    inst_to_class: Dict[int, int],
+    max_seq_length: int,
+) -> np.ndarray:
+    """BERT subword variant of token_labels (bert_ner.py:1177-1217).
+
+    Slot 0 is [CLS]; tokens occupy slots 1..n with n = max_seq_length - 2.
+    After the majority vote, '##' continuation subwords are reconciled with
+    their word: a continuation whose label differs from the previous slot
+    inherits it (forward-fill), or back-fills its word-start run when the
+    previous slot was O — the reference's exact W3 instance.  The BIO
+    integer codec then runs over slot positions.
+    """
+    res = np.zeros(max_seq_length, dtype=np.int32)
+    n = min(len(bounds), max_seq_length - 2)
+    inst = majority_instance_per_token(list(bounds)[:n], paint, len(inst_to_class))
+    res[1:n + 1] = inst
+    prev = 0
+    for i in range(n):
+        cur = int(res[i + 1])
+        if cur != prev and tokens[i].startswith("##"):
+            if prev > 0:
+                res[i + 1] = prev
+                cur = prev
+            else:
+                j = i
+                while j >= 0:
+                    res[j + 1] = cur
+                    if not tokens[j].startswith("##"):
+                        break
+                    j -= 1
+        prev = cur
+    prev = 0
+    for k in range(max_seq_length):
+        c = int(res[k])
+        if c > 0:
+            ne = inst_to_class[c]
+            res[k] = ne * 2 - 1 if c == prev else ne * 2
+        prev = c
+    return res
+
+
+def wordpiece_tokenize(
+    token: str, vocab: frozenset, max_chars: int = 200
+) -> List[str]:
+    """Greedy longest-match WordPiece of one word (bert_ner.py:731-771 stand-in).
+
+    Continuations carry the '##' prefix; an unmatchable word becomes [UNK].
+    Pure and deterministic given the vocab — the pluggable-tokenizer pattern
+    of SURVEY §2.10.
+    """
+    if len(token) > max_chars:
+        return ["[UNK]"]
+    out: List[str] = []
+    start = 0
+    while start < len(token):
+        end = len(token)
+        piece = None
+        while end > start:
+            cand = token[start:end]
+            if start > 0:
+                cand = "##" + cand
+            if cand in vocab:
+                piece = cand
+                break
+            end -= 1
+        if piece is None:
+            return ["[UNK]"]
+        out.append(piece)
+        start = end
+    return out
+
+
 # --- BIO decode: label runs -> entity spans ----------------------------------
 
 

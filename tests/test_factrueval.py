@@ -98,3 +98,23 @@ def test_task1_sink(spark, tmp_path):
     assert any(l.startswith("loc 31 ") for l in lines)
     starts = [int(l.split()[1]) for l in lines]
     assert starts == sorted(starts)
+
+
+@needs_fixture
+def test_task1_roundtrip_via_s6(spark, tmp_path):
+    """S11 sink then S6 loader: predictions survive the round-trip."""
+    from pyspark.sql import functions as F
+
+    from deep_ner_spark.sources.factrueval import (
+        factrueval_to_dataset,
+        load_task1_predictions,
+        write_task1,
+    )
+
+    _, ents, _ = factrueval_to_dataset(spark, FX)
+    named = ents.withColumn("base_name", F.lit("book_3543"))
+    write_task1(named, str(tmp_path))
+    back = load_task1_predictions(spark, str(tmp_path))
+    want = {(r["ne_type"], r["start"], r["end"]) for r in named.collect()}
+    got = {(r["ne_type"], r["start"], r["end"]) for r in back.collect()}
+    assert got == want
