@@ -883,6 +883,303 @@ def q_cosine_topk(spark, sf_dir):
     return out.select("query_id", F.col("rank").cast("long").alias("rnk"), "neighbor_id")
 
 
+# --- salted as-of join: must equal the plain as-of oracle --------------------
+
+
+@_q(
+    "asof_salted",
+    """
+    SELECT t.event_id,
+           t.user_id,
+           s.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type <> 'purchase') t
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') s
+      ON t.user_id = s.user_id AND t.ts >= s.ts
+    """,
+)
+def q_asof_salted(spark, sf_dir):
+    """SURVEY J5 skew path: the salted as-of join must give identical
+    results to the plain one (every user forced down the salted path)."""
+    from deep_ner_spark.operators.asof import asof_join_salted
+
+    ev = _read(spark, sf_dir, "events")
+    turns = ev.where(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    state = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join_salted(
+        turns,
+        state,
+        ["user_id"],
+        "ts",
+        ["purchase_value"],
+        seq_col="event_id",
+        n_salts=4,
+        hot_key_threshold=10,  # force the salted path for almost all users
+    )
+    return out.select("event_id", "user_id", "purchase_value")
+
+
+# --- simhash near-duplicate pairs (pigeonhole blocks, exact recall) -----------
+
+
+@_q(
+    "simhash_near_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, md5(unnest(string_split_regex(trim(text), '\\s+'))) AS h
+      FROM documents),
+    bits AS (
+      SELECT doc_id, h, unnest(generate_series(0, 63)) AS b FROM toks),
+    scored AS (
+      SELECT doc_id, b,
+             ((strpos('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1)
+               >> (b % 4)) & 1 AS bit
+      FROM bits),
+    sh AS (
+      SELECT doc_id, b, CASE WHEN sum(bit * 2 - 1) > 0 THEN 1 ELSE 0 END AS bit
+      FROM scored GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(sum(abs(a.bit - b.bit)) AS INT) AS hamming
+      FROM sh a JOIN sh b ON a.b = b.b AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+    """,
+)
+def q_simhash_near_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: block-permutation candidates (exact recall
+    for hamming <= n_blocks-1) + bit_count filter; the oracle brute-forces
+    all pairs."""
+    from deep_ner_spark.operators.dedup import hamming_near_pairs, simhash64
+
+    docs = _read(spark, sf_dir, "documents")
+    sh = simhash64(docs, "doc_id", "text")
+    out = hamming_near_pairs(sh, "doc_id", max_hamming=3, n_blocks=4)
+    return out.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("hamming").cast("int"),
+    )
+
+
+# --- quality metric (equal-count regime is SQL-expressible) -------------------
+
+_QUALITY_BASE_SQL = """
+    WITH toks AS (
+      SELECT doc_id, unnest(t) AS token,
+             unnest(generate_series(1, len(t))) - 1 AS token_idx
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM documents WHERE doc_id < 300)),
+    pos AS (
+      SELECT doc_id, token_idx, token,
+             CAST(coalesce(sum(length(token) + 1) OVER (PARTITION BY doc_id ORDER BY token_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start,
+             CAST(coalesce(sum(length(token) + 1) OVER (PARTITION BY doc_id ORDER BY token_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + length(token) AS BIGINT) AS "end"
+      FROM toks),
+    gold AS (
+      SELECT doc_id AS sample_id, 'KEY' AS ne_class, start, "end"
+      FROM pos WHERE token IN ('merge', 'filter'))
+"""
+
+
+@_q(
+    "quality_prf1",
+    f"""
+    {_QUALITY_BASE_SQL},
+    pred AS (
+      SELECT sample_id, ne_class, start + 1 AS start, "end" + 3 AS "end" FROM gold),
+    g AS (SELECT *, row_number() OVER (PARTITION BY sample_id, ne_class ORDER BY start, "end") AS rn FROM gold),
+    p AS (SELECT *, row_number() OVER (PARTITION BY sample_id, ne_class ORDER BY start, "end") AS rn FROM pred),
+    pairs AS (
+      SELECT g.sample_id, g.ne_class,
+             greatest(least(g."end", p."end") - greatest(g.start, p.start), 0) AS ov,
+             g."end" - g.start AS glen, p."end" - p.start AS plen
+      FROM g JOIN p USING (sample_id, ne_class, rn)),
+    m AS (
+      SELECT ne_class,
+             CAST(sum(ov) AS BIGINT) AS tp,
+             CAST(sum(plen - ov) AS BIGINT) AS fp,
+             CAST(sum(glen - ov) AS BIGINT) AS fn
+      FROM pairs GROUP BY 1)
+    SELECT ne_class, tp, fp, fn,
+           tp / greatest(tp + fp, 1) AS precision,
+           tp / greatest(tp + fn, 1) AS recall
+    FROM m
+    """,
+)
+def q_quality_prf1(spark, sf_dir):
+    """SURVEY J3+A3 in the equal-count regime (identity pairing of sorted
+    span lists — quality.py:92-94), where the full metric is
+    SQL-expressible: gold = 'merge'/'filter' token spans, pred = gold
+    shifted (+1, +3)."""
+    from deep_ner_spark.operators.quality import entity_match_metrics
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")).alias(
+            "token_idx", "token"
+        ),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("token_idx")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    toks = toks.withColumn(
+        "start",
+        F.coalesce(F.sum(F.length("token") + 1).over(wprev), F.lit(0)).cast("long"),
+    ).withColumn("end", (F.col("start") + F.length("token")).cast("long"))
+    gold = toks.where(F.col("token").isin("merge", "filter")).select(
+        F.col("doc_id").alias("sample_id"),
+        F.lit("KEY").alias("ne_class"),
+        "start",
+        "end",
+    )
+    pred = gold.select(
+        "sample_id",
+        "ne_class",
+        (F.col("start") + 1).alias("start"),
+        (F.col("end") + 3).alias("end"),
+    )
+    per_group = entity_match_metrics(gold, pred)
+    m = per_group.groupBy("ne_class").agg(
+        F.sum("tp").alias("tp"), F.sum("fp").alias("fp"), F.sum("fn").alias("fn")
+    )
+    return m.select(
+        "ne_class",
+        "tp",
+        "fp",
+        "fn",
+        (F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))).alias("precision"),
+        (F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))).alias("recall"),
+    )
+
+
+# --- S7 span merge (previous-original-end islands) ----------------------------
+
+
+@_q(
+    "span_merge_reference",
+    """
+    WITH iv AS (
+      SELECT user_id AS sample_id, 'X' AS ne_type,
+             CAST(floor(value) AS BIGINT) AS start,
+             CAST(floor(value) AS BIGINT) + 17 AS "end"
+      FROM events),
+    flagged AS (
+      SELECT *, CASE WHEN lag("end") OVER w IS NULL OR lag("end") OVER w < start
+                     THEN 1 ELSE 0 END AS opens
+      FROM iv
+      WINDOW w AS (PARTITION BY sample_id, ne_type ORDER BY start, "end")),
+    isl AS (
+      SELECT *, sum(opens) OVER (PARTITION BY sample_id, ne_type ORDER BY start, "end"
+                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged),
+    ordered AS (
+      SELECT sample_id, ne_type, island, start, "end",
+             row_number() OVER (PARTITION BY sample_id, ne_type, island
+                                ORDER BY start DESC, "end" DESC) AS rn
+      FROM isl)
+    SELECT sample_id, ne_type,
+           min(start) AS start,
+           max(CASE WHEN rn = 1 THEN "end" END) AS "end"
+    FROM ordered GROUP BY sample_id, ne_type, island
+    """,
+)
+def q_span_merge_reference(spark, sf_dir):
+    """SURVEY S7 span merge: the reference's previous-ORIGINAL-end rule
+    (merged end = last member's end, which can shrink the interval) —
+    distinct from classic running-max islands (A4)."""
+    from deep_ner_spark.sources.json_ds import merge_spans_reference
+
+    ev = _read(spark, sf_dir, "events")
+    iv = ev.select(
+        F.col("user_id").alias("sample_id"),
+        F.lit("X").alias("ne_type"),
+        F.floor("value").cast("long").alias("start"),
+        (F.floor("value").cast("long") + 17).alias("end"),
+    )
+    return merge_spans_reference(iv)
+
+
+# --- rows-only entries (non-SQL-expressible operators) ------------------------
+
+
+@_q("viterbi_decode")
+def q_viterbi_decode(spark, sf_dir):
+    """CRF Viterbi decode over deterministic synthetic logits (dynamic
+    program — not SQL-expressible; rows-only check, pinned by pytest
+    against brute-force enumeration)."""
+    from deep_ner_spark.operators.viterbi import decode_labels
+
+    ev = _read(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    seqs = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"],
+        ).alias("values")
+    )
+    # logits[t] = [v, 100-v, v/2] - deterministic 3-tag scores
+    logits = seqs.select(
+        "user_id",
+        F.flatten(
+            F.transform(
+                "values",
+                lambda v: F.array(v, 100.0 - v, v / 2.0),
+            )
+        ).alias("logits"),
+    )
+    trans = [[0.0, 1.0, -1.0], [1.0, 0.0, 1.0], [-1.0, 1.0, 0.0]]
+    out = decode_labels(logits, "logits", trans)
+    return out.select("user_id", F.col("label_ids"))
+
+
+@_q("stratified_split")
+def q_stratified_split(spark, sf_dir):
+    """Stratified split sizes + per-side class sets (seeded rng on the
+    driver — rows-only check; invariants pinned by pytest)."""
+    from deep_ner_spark.operators.splitting import split_assignment
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("sample_id"), "text"
+    )
+    spans = docs.select(
+        "sample_id",
+        F.explode(F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")).alias("tok"),
+    ).where(F.col("tok").isin("spark", "merge", "filter")).select(
+        "sample_id", F.col("tok").alias("ne_type")
+    )
+    assign = split_assignment(docs, spans, 0.25, seed=42)
+    return assign.groupBy("is_test").agg(F.count("*").alias("n")).orderBy("is_test")
+
+
+@_q("lsh_cosine_topk")
+def q_lsh_cosine_topk(spark, sf_dir):
+    """Approximate ANN (hyperplane-LSH bucketed) — rows-only; recall vs the
+    exact path is asserted in pytest."""
+    from deep_ner_spark.operators.similarity import lsh_cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = lsh_cosine_topk(emb, queries, 64, "vec_id", "embedding", k=3, n_planes=6)
+    return out.select("query_id", F.col("rank").cast("long").alias("rnk"), "neighbor_id")
+
+
+@_q("multimodal_image_features")
+def q_multimodal_image_features(spark, sf_dir):
+    """Binary media column -> grid-pooled features (codec stubbed with a
+    deterministic fake; plumbing real — rows-only)."""
+    from deep_ner_spark.operators.multimodal import gen_fake_media, image_features
+
+    media = gen_fake_media(spark, n=64, seed=42, kind="image")
+    out = image_features(media, grid=4)
+    return out.select("media_id", F.size("features").alias("feat_dim"))
+
+
 # --- flagship featurize (rows-only: feature matrices are not SQL) -------------
 
 
@@ -909,6 +1206,28 @@ def q_flagship_featurize(spark, sf_dir):
         "n_tokens",
         F.col("state").getItem(0).alias("state_value"),
     )
+
+
+@_q("predict_entities")
+def q_predict_entities(spark, sf_dir):
+    """SURVEY E1 read path composed end-to-end: featurize -> seeded linear
+    head -> Viterbi -> BIO islands -> entity spans (rows-only; the per-stage
+    semantics are oracle-/golden-checked individually)."""
+    import numpy as np
+
+    from deep_ner_spark.pipeline import featurize_transcripts, predict_entities
+
+    transcripts = _derived_transcripts(spark, sf_dir).where(
+        F.col("conv_id").cast("long") < 50
+    )
+    out, vocab = featurize_transcripts(transcripts, None, max_seq_length=16, emb_dim=8)
+    classes = ("LOCATION", "ORG", "PERSON")
+    n_tags = 2 * len(classes) + 1
+    width = 8 + len(vocab) + 3 + 66
+    rng = np.random.default_rng(42)
+    W = rng.standard_normal((width, n_tags)).astype("float32")
+    trans = rng.standard_normal((n_tags, n_tags))
+    return predict_entities(out, classes, W, trans)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

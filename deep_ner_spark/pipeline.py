@@ -105,3 +105,62 @@ def featurize_transcripts(
     if entity_state is not None:
         out_cols.append("state")
     return feats.select(*out_cols), vocab
+
+
+def predict_entities(
+    featurized: DataFrame,
+    classes_list: Sequence[str],
+    weights,
+    transitions,
+) -> DataFrame:
+    """The reference's read path E1 steps 4-7 (elmo_ner.py:277-304):
+    feature matrices -> logits (here a deterministic linear head standing in
+    for the TF session) -> per-turn Viterbi decode -> BIO islands decode ->
+    long-form entity spans (conv_id, turn_idx, ne_type, start, end).
+
+    ``weights``: [feature_width, n_tags] ndarray; ``transitions``:
+    [n_tags, n_tags]; n_tags = 2 * len(classes_list) + 1 (the BIO int
+    codec's range).  One Arrow pass per turn, no shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from deep_ner_spark import textfns
+    from deep_ner_spark.operators.features import decode_feature_matrix
+    from deep_ner_spark.operators.viterbi import viterbi_decode
+
+    W = np.asarray(weights, dtype=np.float32)
+    trans = np.asarray(transitions, dtype=np.float64)
+    classes = tuple(classes_list)
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("ne_type", T.StringType()),
+            T.StructField("start", T.IntegerType()),
+            T.StructField("end", T.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                m = decode_feature_matrix(r["features"], int(r["feature_width"]))
+                if m.shape[0] == 0:
+                    continue
+                logits = m @ W
+                labels = viterbi_decode(logits, trans)
+                bounds = list(zip(r["starts"], r["ends"]))[: m.shape[0]]
+                spans = textfns.decode_bio_spans(bounds, classes, labels.tolist())
+                for ne_type in spans:
+                    for s, e in spans[ne_type]:
+                        rows.append((r["conv_id"], int(r["turn_idx"]), ne_type, s, e))
+            yield pd.DataFrame(
+                rows, columns=["conv_id", "turn_idx", "ne_type", "start", "end"]
+            )
+
+    cols = ["conv_id", "turn_idx", "features", "feature_width", "starts", "ends"]
+    return featurized.select(*cols).mapInPandas(run, schema=schema)
