@@ -90,20 +90,24 @@ def run_config(cpus: int, n_iter: int = 4) -> dict:
     return json.loads(lines[-1])
 
 
+def _burn(n):
+    import hashlib
+
+    x = 0
+    for i in range(n):
+        x ^= int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4], "little")
+    return x
+
+
 def cpu_ceiling() -> dict:
     """Measured hardware ceiling for python-heavy scaling on this box:
-    identical pure-python work per process at 1/2/8/32 processes — turbo
+    identical pure-python work per process at 2/8/32 processes — turbo
     frequency and memory contention bound what ANY perfectly parallel
     python workload can achieve between 8 and 32 cores."""
     import multiprocessing as mp
-    import hashlib
     import time as _t
 
-    def burn(n):
-        x = 0
-        for i in range(n):
-            x ^= int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4], "little")
-        return x
+    burn = _burn
 
     def throughput(k):
         t0 = _t.time()

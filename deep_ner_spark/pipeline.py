@@ -75,12 +75,20 @@ def featurize_transcripts(
         slim, ["conv_id"], "ts", session_gap_seconds, order_cols=["turn_idx"]
     )
     slim = forward_fill(slim, ["conv_id"], ["turn_idx"], ["role", "tool"])
-
-    toks = tokenize_turns(slim).withColumn(
-        "n_tokens", F.least(F.size("tokens"), F.lit(max_seq_length))
+    # token count JVM-side (regexp identical to the pinned tokenizer; (?U)
+    # gives Python's Unicode \w/\s classes) so the lag/lead window runs in
+    # the slim phase — a Python-eval node would lose the partitioning info
+    # and force a second exchange if this ran after tokenize_turns
+    slim = slim.withColumn(
+        "n_tokens",
+        F.least(
+            F.regexp_count(F.col("text"), F.lit(r"(?U)\w+|[^\w\s]")),
+            F.lit(max_seq_length),
+        ).cast("int"),
     )
-    # same hash partitioning as the slim windows -> sort only, no exchange
-    toks = lag_lead(toks, ["conv_id"], ["turn_idx"], ["n_tokens"], offsets=(1,))
+    slim = lag_lead(slim, ["conv_id"], ["turn_idx"], ["n_tokens"], offsets=(1,))
+
+    toks = tokenize_turns(slim)
     if vocab is None:
         toks = toks.persist()
         vocab = fit_shape_vocab(toks)

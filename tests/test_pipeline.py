@@ -117,6 +117,21 @@ def test_padded_feature_matrix_parity(data, spark):
     assert checked == 40
 
 
+def test_lag_lead_counts_consistent(data, spark):
+    """The JVM-side regexp token count (used for the slim-phase lag/lead)
+    must equal the pinned tokenizer's count on every turn."""
+    tdf, _, stdf, t, _, _ = data
+    out, _ = featurize_transcripts(tdf, stdf, max_seq_length=MAX_SEQ, emb_dim=4)
+    rows = {(r["conv_id"], r["turn_idx"]): r for r in out.collect()}
+    for (conv, tidx), r in rows.items():
+        n_exact = min(len(textfns.tokenize(textfns.normalize_text(
+            t[(t.conv_id == conv) & (t.turn_idx == tidx)].iloc[0]["text"]))), MAX_SEQ)
+        assert r["n_tokens"] == n_exact
+        prev = rows.get((conv, tidx - 1))
+        if prev is not None:
+            assert r["n_tokens_lag1"] == prev["n_tokens"]
+
+
 def test_asof_state_no_leakage_in_pipeline(data, spark):
     tdf, _, stdf, t, _, st = data
     out, _ = featurize_transcripts(tdf, stdf, max_seq_length=8, emb_dim=4)

