@@ -32,11 +32,15 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     of n consecutive tokens.
     """
     toks = tokens_col(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
     )
-    return F.array_distinct(grams)
+    # docs shorter than n tokens have no shingles (sequence(0, neg) would
+    # count DOWN in Spark, so gate explicitly)
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(grams)
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

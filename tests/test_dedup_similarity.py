@@ -1,0 +1,104 @@
+"""Dedup / similarity / textstats operators on hand-checkable inputs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = pd.DataFrame(
+        {
+            "doc_id": list(range(6)),
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy cat",   # near-dup of 0
+                "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+                "completely different words entirely here now",
+                "spark engines process data at scale",
+                "a b",  # shorter than the shingle width
+            ],
+        }
+    )
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup(docs, spark):
+    from deep_ner_spark.operators.dedup import exact_dedup, exact_dedup_groups
+
+    groups = {r["n_copies"] for r in exact_dedup_groups(docs, "doc_id", "text").collect()}
+    assert groups == {1, 2}
+    kept = exact_dedup(docs, "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [0, 1, 3, 4, 5]  # doc 2 (the later exact dup) dropped
+
+
+def test_jaccard_pairs(docs, spark):
+    from deep_ner_spark.operators.dedup import jaccard_pairs
+
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3).collect()}
+    assert out[(0, 2)] == 1.0  # exact dup
+    # docs 0 and 1 share 6 of 7 shingles -> J = 6/8
+    assert abs(out[(0, 1)] - 6 / 8) < 1e-9
+    assert (0, 3) not in out
+
+
+def test_minhash_lsh_finds_dups(docs, spark):
+    from deep_ner_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    sig = minhash_signatures(docs, "doc_id", "text", n_hashes=8, n=3)
+    # exact dup docs have identical signatures in every slot
+    rows = {(r["doc_id"], r["h_idx"]): r["minhash"] for r in sig.collect()}
+    for h in range(8):
+        assert rows[(0, h)] == rows[(2, h)]
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sig, "doc_id", 4).collect()}
+    assert (0, 2) in pairs
+
+
+def test_simhash_identical_for_dups_and_near_pairs(docs, spark):
+    from deep_ner_spark.operators.dedup import hamming_near_pairs, simhash64
+
+    sh = simhash64(docs, "doc_id", "text")
+    vals = {r["doc_id"]: r["simhash"] for r in sh.collect()}
+    assert vals[0] == vals[2]
+    near = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+            hamming_near_pairs(sh, "doc_id", max_hamming=3, n_blocks=4).collect()}
+    assert near[(0, 2)] == 0
+
+
+def test_cosine_topk_exact_and_lsh_recall(spark):
+    from deep_ner_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16)).astype("float32")
+    base[1] = base[0]  # exact copy: same bucket under any hyperplane set
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(40), "embedding": [list(map(float, v)) for v in base]})
+    )
+    q = emb.where(F.col("vec_id") == 0)
+    exact = cosine_topk(emb, q, k=1).collect()
+    assert exact[0]["neighbor_id"] == 1  # the crafted near-copy wins
+    # LSH with 1 plane: near-identical vectors land in the same bucket
+    approx = lsh_cosine_topk(emb, q, 16, k=1, n_planes=1).collect()
+    assert approx and approx[0]["neighbor_id"] == 1
+
+
+def test_textstats(docs, spark):
+    from deep_ner_spark.operators.textstats import (
+        doc_fingerprint,
+        lang_id,
+        quality_features,
+    )
+
+    feats = {r["doc_id"]: r for r in quality_features(docs, "doc_id", "text").collect()}
+    assert feats[0]["n_tokens"] == 9
+    assert feats[0]["n_distinct_tokens"] == 8  # 'the' twice
+    assert abs(feats[0]["stopword_ratio"] - 2 / 9) < 1e-12  # two "the"s
+    langs = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs, "doc_id", "text").collect()}
+    assert langs[0] == "en"
+    assert langs[3] == "unk"  # no stopwords in that sentence
+    fps = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(docs, "doc_id", "text").collect()}
+    assert fps[0] == fps[2]
+    assert fps[0] != fps[1]
