@@ -79,22 +79,53 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Near-duplicate pairs by n-gram Jaccard similarity.
+    """Near-duplicate pairs by n-gram Jaccard similarity — EXACT, with
+    PPJoin-style prefix filtering for candidate generation.
 
-    Candidate pairs come from the shared-shingle join (never a cross join);
-    |A ∪ B| = |A| + |B| - |A ∩ B|.  Output: (id_a, id_b, inter, size_a,
-    size_b, jaccard) with id_a < id_b.
+    Lemma: J(x,y) >= t implies |x ∩ y| >= ceil(t*|x|), so any qualifying
+    pair shares at least one shingle among each side's first
+    |x| - ceil(t*|x|) + 1 shingles in a global canonical order.  Ordering
+    shingles by ascending corpus frequency makes prefixes the RARE
+    shingles, collapsing the self-join volume that a naive shared-shingle
+    join spends on stop-shingles.  Candidates then verify with the full
+    intersection count; results are identical to the naive join.
+
+    Output: (id_a, id_b, inter, size_a, size_b, jaccard), id_a < id_b.
     """
     sh = doc_shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("size"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = sh.join(freq, "shingle")
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy("df", "shingle")
+    prefix = (
+        ranked.withColumn("pos", F.row_number().over(w))
+        .join(sizes, id_col)
+        .where(
+            F.col("pos")
+            <= F.col("size") - F.ceil(F.lit(threshold) * F.col("size")) + 1
+        )
+        .select(id_col, "shingle")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
         a.join(b, on="shingle")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
+        .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
+        .distinct()
+    )
+    # exact verification: full intersection count for candidates only
+    sa_sh = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb_sh = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(sa_sh, "id_a")
+        .join(sb_sh, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("size", "size_a")

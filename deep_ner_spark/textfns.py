@@ -392,12 +392,8 @@ _POS_INDEX = {t: i for i, t in enumerate(UNIVERSAL_POS_TAGS)}
 _DEP_INDEX = {t: i for i, t in enumerate(UNIVERSAL_DEPENDENCIES)}
 
 
-def heuristic_pos_dep(token: str, token_idx: int) -> Tuple[str, str]:
-    """Pinned deterministic POS/dep tagger (UDPipe stand-in; see §2.10).
-
-    Purely a deterministic placeholder so the linguistic one-hot channel is
-    exercised hermetically; a UDPipe pipeline can be plugged in instead.
-    """
+@lru_cache(maxsize=1 << 18)
+def _pos_dep_cached(token: str, is_first: bool, parity: int) -> Tuple[str, str]:
     shape = shape_of_string(token)
     if all(c in "PD-\"'U_" for c in shape) and "D" not in shape:
         return ("PUNCT", "punct")
@@ -405,9 +401,20 @@ def heuristic_pos_dep(token: str, token_idx: int) -> Tuple[str, str]:
         return ("NUM", "nummod")
     if shape.startswith("A"):
         return ("PROPN", "name")
-    if token_idx == 0:
+    if is_first:
         return ("NOUN", "nsubj")
-    return ("NOUN", "nmod" if token_idx % 2 else "obj")
+    return ("NOUN", "nmod" if parity else "obj")
+
+
+def heuristic_pos_dep(token: str, token_idx: int) -> Tuple[str, str]:
+    """Pinned deterministic POS/dep tagger (UDPipe stand-in; see §2.10).
+
+    Purely a deterministic placeholder so the linguistic one-hot channel is
+    exercised hermetically; a UDPipe pipeline can be plugged in instead.
+    The result depends on the token plus (is-first, index parity) only, so
+    it caches on that key.
+    """
+    return _pos_dep_cached(token, token_idx == 0, token_idx % 2)
 
 
 def pos_dep_one_hot(pos: str, dep: str) -> np.ndarray:
