@@ -74,8 +74,11 @@ spark.stop()
 N_CONVS = int(os.environ.get("SCALING_CONVS", "48000"))  # ~1.8M turns
 
 
-def run_config(cpus: int, n_iter: int = 4) -> dict:
+def run_config(cpus: int, n_iter: int = 5) -> dict:
     env = dict(os.environ)
+    # local mode runs executors in the driver JVM: size the heap for the
+    # feature blobs at full width or GC noise dominates the measurement
+    env.setdefault("SPARK_DRIVER_MEM", "24g")
     out = subprocess.run(
         [sys.executable, "-c", CHILD, str(cpus), str(REPO), str(N_CONVS), str(n_iter)],
         capture_output=True,

@@ -9,9 +9,6 @@ embarrassingly parallel across turns and never crosses rows.
 
 from __future__ import annotations
 
-from typing import Iterable
-
-import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F

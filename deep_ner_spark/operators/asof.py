@@ -137,7 +137,11 @@ def asof_join_salted(
         )
     hot = F.broadcast(hot_keys.withColumn("__hot", F.lit(1)))
 
-    salt_src = F.col(seq_col) if seq_col else F.col(ts_col).cast("long")
+    salt_src = (
+        F.col(seq_col)
+        if seq_col
+        else F.col(ts_col).cast("timestamp").cast("long")  # NTZ-tolerant
+    )
     turns_s = turns.join(hot, on=list(key_cols), how="left").withColumn(
         "__salt",
         F.when(F.col("__hot").isNotNull(), F.pmod(F.xxhash64(salt_src), F.lit(n_salts)))

@@ -51,6 +51,8 @@ def label_tokens_colocated(
     Returns (key..., labels: array<int>) — one label per token, reference
     codec (B=2k / I=2k-1 / O=0).
     """
+    if tuple(key_cols) != ("conv_id", "turn_idx"):
+        raise ValueError("label_tokens_colocated currently keys on (conv_id, turn_idx)")
     classes = tuple(classes_list)
     spans_grouped = entity_spans.groupBy(*key_cols).agg(
         F.collect_list(F.struct("ne_type", "start", "end")).alias("spans")

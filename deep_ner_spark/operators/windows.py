@@ -112,7 +112,6 @@ def merge_intervals(
     (start, end); merge when prev_end >= next_start).  Emits one row per
     island with min(start) / max(end).
     """
-    w = _w(key_cols, [start_col, end_col])
     run_max_end = F.max(end_col).over(
         _w(key_cols, [start_col, end_col]).rowsBetween(Window.unboundedPreceding, -1)
     )

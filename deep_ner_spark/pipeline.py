@@ -1,21 +1,20 @@
 """Flagship pipeline: point-in-time featurization of agent transcripts.
 
-One DataFrame chain (SURVEY §3 E1 re-expressed for Spark):
+One DataFrame chain (SURVEY §3 E1 re-expressed for Spark), in
+shuffle-aware order:
 
     transcripts
-      -> normalize (JVM built-ins, P1)
-      -> tokenize + bounds + shapes + pos/dep (one Arrow UDF per turn)
-      -> fit shape vocab (A1, hash agg + broadcast)           [fit only]
-      -> per-turn feature matrix (Arrow UDF, one-hot scatter)
-      -> sessionize on ts gaps (W4) + forward-fill sparse role/tool (W3)
-      -> lag/lead turn context (W8)
-      -> as-of join latest entity state, zero leakage (J5)
-      -> per-turn output row (features + state + window context)
+      -> as-of join latest entity state, zero leakage (J5)   [exchange #1]
+      -> sessionize on ts gaps (W4)                          [reuses it]
+      -> forward-fill sparse role/tool (W3)                  [reuses it]
+      -> token-count lag/lead turn context (W8, JVM regexp)  [reuses it]
+      -> normalize + tokenize + bounds + shapes + pos/dep    [narrow Arrow]
+      -> per-turn feature matrix, binary float32             [narrow Arrow]
 
-Shuffle budget: ONE exchange by conv_id serves sessionize, forward-fill,
-lag/lead AND the as-of window (Catalyst reuses the partitioning; the as-of
-union adds the state table to the same exchange).  The vocab fit is a
-separate tiny aggregation over shape strings.
+Shuffle budget: exactly ONE exchange by conv_id — the as-of union's —
+serves every window (verified by tests/test_plans.py); everything after it
+is narrow, so the multi-GB feature blobs never shuffle.  The vocab fit is
+a separate tiny shape-string aggregation pass.
 """
 
 from __future__ import annotations
@@ -50,10 +49,6 @@ def featurize_transcripts(
     passes over the already-exchanged rows — the multi-GB feature blobs are
     produced after the last exchange and never shuffle.  (The reverse
     order pushed ~20x the bytes through every window exchange.)
-
-    When the vocab is fitted here (two-pass job), the windowed+tokenized
-    frame is persisted so the fit pass and the assembly pass share one
-    tokenize run.
     """
     slim = transcripts
     if entity_state is not None:

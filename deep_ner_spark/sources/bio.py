@@ -16,7 +16,6 @@ parallelize freely).
 
 from __future__ import annotations
 
-import re
 from typing import Dict, List, Optional, Set, Tuple
 
 import pandas as pd
@@ -26,7 +25,6 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 _CLOSING = {")", "}", "]", ">", ".", ",", "?", ":", ";"}
-_LABEL_RE = re.compile(r"^(O|[BI]-[A-Z]+.*)$")
 
 
 def append_token(text: str, token: str) -> str:
