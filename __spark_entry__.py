@@ -1208,6 +1208,28 @@ def q_flagship_featurize(spark, sf_dir):
     )
 
 
+@_q("embedding_near_dup")
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via LSH buckets (rows-only; the
+    exact-duplicate guarantee is unit-tested)."""
+    from deep_ner_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = embedding_near_dup_pairs(emb, 64, threshold=0.9, n_planes=6)
+    return out.select("id_a", "id_b")
+
+
+@_q("rolling_fingerprint")
+def q_rolling_fingerprint(spark, sf_dir):
+    """Order-sensitive Karp-Rabin document fingerprint (rows-only; value
+    semantics unit-tested against the closed form)."""
+    from deep_ner_spark.operators.textstats import rolling_fingerprint
+
+    return rolling_fingerprint(
+        _read(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 @_q("predict_entities")
 def q_predict_entities(spark, sf_dir):
     """SURVEY E1 read path composed end-to-end: featurize -> seeded linear

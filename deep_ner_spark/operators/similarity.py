@@ -86,6 +86,42 @@ def lsh_bucket_col(vec: Column, planes) -> Column:
     return bucket
 
 
+def embedding_near_dup_pairs(
+    data: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family, brief item).
+
+    Candidates share a hyperplane-LSH bucket (near-identical vectors almost
+    surely do; exact duplicates always do), then the exact cosine filter
+    applies.  Self-join happens bucket-locally — never a cross join.
+    Output: (id_a, id_b, cosine), id_a < id_b.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    b = lsh_bucket_col(F.col(vec_col), planes)
+    tagged = data.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), b.alias("__bucket")
+    )
+    a = tagged.alias("a")
+    c = tagged.alias("b")
+    pairs = (
+        a.join(c, on="__bucket")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_col(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    return pairs
+
+
 def lsh_cosine_topk(
     data: DataFrame,
     queries: DataFrame,

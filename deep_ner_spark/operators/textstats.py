@@ -4,8 +4,11 @@ DuckDB oracle can reproduce values exactly."""
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from deep_ner_spark.operators.dedup import tokens_col
 
@@ -94,6 +97,46 @@ def lang_id(
         .otherwise("unk")
         .alias("lang_pred"),
     )
+
+
+def rolling_fingerprint(
+    df: DataFrame, id_col: str, text_col: str, base: int = 1_000_003,
+    mod: int = (1 << 61) - 1,
+) -> DataFrame:
+    """Polynomial rolling hash of the full text (Karp-Rabin form).
+
+    h = sum(ord(c_i) * base^i) mod (2^61 - 1) — order-sensitive (unlike
+    :func:`doc_fingerprint`), vectorized per Arrow batch in NumPy with
+    O(len) work and precomputed power tables per length bucket.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.LongType())
+    def fp(texts: pd.Series) -> pd.Series:
+        pows: dict = {}
+
+        def powers(n: int) -> np.ndarray:
+            p = pows.get(n)
+            if p is None:
+                p = np.empty(n, dtype=np.uint64)
+                acc = 1
+                for i in range(n):
+                    p[i] = acc
+                    acc = (acc * base) % mod
+                pows[n] = p
+            return p
+
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(object)
+            p = powers(len(codes)).astype(object)
+            out.append(int((codes * p % mod).sum() % mod))
+        return pd.Series(out, dtype="object")
+
+    return df.select(F.col(id_col), fp(F.col(text_col)).alias("rolling_fp"))
 
 
 def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -102,3 +102,33 @@ def test_textstats(docs, spark):
     fps = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(docs, "doc_id", "text").collect()}
     assert fps[0] == fps[2]
     assert fps[0] != fps[1]
+
+
+def test_embedding_near_dup_pairs(spark):
+    from deep_ner_spark.operators.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((30, 16)).astype("float32")
+    base[5] = base[2]  # exact duplicate vector
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(30), "embedding": [list(map(float, v)) for v in base]})
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in embedding_near_dup_pairs(emb, 16, threshold=0.95).collect()}
+    assert (2, 5) in pairs
+    assert abs(pairs[(2, 5)] - 1.0) < 1e-6
+    assert all(c >= 0.95 for c in pairs.values())
+
+
+def test_rolling_fingerprint(spark):
+    from deep_ner_spark.operators.textstats import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": ["ab", "ba", "ab"]})
+    )
+    got = {r["doc_id"]: r["rolling_fp"] for r in rolling_fingerprint(df, "doc_id", "text").collect()}
+    assert got[0] == got[2]
+    assert got[0] != got[1]  # order-sensitive, unlike the token-set hash
+    base, mod = 1_000_003, (1 << 61) - 1
+    want = (ord("a") + ord("b") * base) % mod
+    assert got[0] == want
