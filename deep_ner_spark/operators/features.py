@@ -212,6 +212,112 @@ def make_feature_matrix_udf(
     return assemble
 
 
+def make_fused_featurize_udf(
+    vocab: Tuple[str, ...], max_seq_length: int, emb_dim: int = 16
+):
+    """One Arrow round-trip: normalized text -> tokens + bounds + shapes +
+    pos/dep + binary feature matrix.
+
+    The split tokenize-then-featurize form ships the token arrays from
+    Python to the JVM and back into a second Python eval; fusing the two
+    stages halves the Arrow traffic on the dominant stage (the arrays are
+    produced and consumed inside one worker call).
+    """
+    import pandas as pd
+
+    from deep_ner_spark import textfns
+
+    S = len(vocab)
+    vocab_index = {s: i for i, s in enumerate(vocab)}
+    width = feature_width(vocab, emb_dim)
+    bos_col = emb_dim + S + 1
+    eos_col = emb_dim + S + 2
+
+    schema = T.StructType(
+        [
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+            T.StructField("starts", T.ArrayType(T.IntegerType())),
+            T.StructField("ends", T.ArrayType(T.IntegerType())),
+            T.StructField("shapes", T.ArrayType(T.StringType())),
+            T.StructField("pos", T.ArrayType(T.StringType())),
+            T.StructField("dep", T.ArrayType(T.StringType())),
+            T.StructField("features", T.BinaryType()),
+        ]
+    )
+
+    @pandas_udf(schema)
+    def fused(texts: pd.Series) -> pd.DataFrame:
+        cache: dict = {}
+
+        def vec(token: str, shape: str, p: str, d: str) -> np.ndarray:
+            key = (token, p, d)
+            v = cache.get(key)
+            if v is None:
+                v = np.zeros(width, dtype=np.float32)
+                v[:emb_dim] = textfns.hash_embedding(token, emb_dim)
+                v[emb_dim + vocab_index.get(shape, S)] = 1.0
+                v[emb_dim + S + 3:] = textfns.pos_dep_one_hot(p, d)
+                cache[key] = v
+            return v
+
+        cols = {k: [] for k in ("tokens", "starts", "ends", "shapes", "pos", "dep", "features")}
+        for text in texts:
+            if text is None:
+                text = ""
+            triples = textfns.tokenize_with_bounds(text)
+            toks = [t for t, _, _ in triples]
+            shapes = [textfns.shape_of_string(t) for t in toks]
+            tags = [textfns.heuristic_pos_dep(t, i) for i, t in enumerate(toks)]
+            n = min(len(toks), max_seq_length)
+            m = np.zeros((n, width), dtype=np.float32)
+            for i in range(n):
+                m[i] = vec(toks[i], shapes[i], tags[i][0], tags[i][1])
+            if n:
+                m[0, bos_col] = 1.0
+                m[n - 1, eos_col] = 1.0
+            cols["tokens"].append(toks)
+            cols["starts"].append([s for _, s, _ in triples])
+            cols["ends"].append([e for _, _, e in triples])
+            cols["shapes"].append(shapes)
+            cols["pos"].append([p for p, _ in tags])
+            cols["dep"].append([d for _, d in tags])
+            cols["features"].append(m.tobytes())
+        return pd.DataFrame(cols)
+
+    return fused
+
+
+def featurize_fused(
+    slim_turns: DataFrame,
+    vocab: Tuple[str, ...],
+    max_seq_length: int,
+    emb_dim: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fused normalize+tokenize+featurize over windowed slim turns."""
+    from deep_ner_spark.functions.text import normalize_text_col
+
+    udf = make_fused_featurize_udf(vocab, max_seq_length, emb_dim)
+    out = slim_turns.withColumn(
+        "norm_text", normalize_text_col(F.col(text_col))
+    ).withColumn("__t", udf(F.col("norm_text")))
+    return (
+        out.select(
+            "*",
+            F.col("__t.tokens").alias("tokens"),
+            F.col("__t.starts").alias("starts"),
+            F.col("__t.ends").alias("ends"),
+            F.col("__t.shapes").alias("shapes"),
+            F.col("__t.pos").alias("pos_tags"),
+            F.col("__t.dep").alias("dep_tags"),
+            F.col("__t.features").alias("features"),
+        )
+        .drop("__t")
+        .withColumn("n_tokens", F.least(F.size("tokens"), F.lit(max_seq_length)))
+        .withColumn("feature_width", F.lit(feature_width(vocab, emb_dim)))
+    )
+
+
 def with_feature_matrix(
     tokenized_turns: DataFrame,
     vocab: Tuple[str, ...],

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from deep_ner_spark.operators.asof import asof_join, asof_join_salted
-from deep_ner_spark.operators.features import fit_shape_vocab, with_feature_matrix
+from deep_ner_spark.operators.features import featurize_fused, fit_shape_vocab
 from deep_ner_spark.operators.tokens import tokenize_turns
 from deep_ner_spark.operators.windows import forward_fill, lag_lead, sessionize
 
@@ -83,13 +83,14 @@ def featurize_transcripts(
     )
     slim = lag_lead(slim, ["conv_id"], ["turn_idx"], ["n_tokens"], offsets=(1,))
 
-    toks = tokenize_turns(slim)
     if vocab is None:
         # a dedicated fit pass beats persisting the tokenized frame: the
         # cache write of the token arrays costs ~2x the re-tokenize
         # (measured at sf0.1: 12.5s cached-cold vs 2.3s fit + 3.8s main)
         vocab = fit_shape_vocab(tokenize_turns(transcripts))
-    feats = with_feature_matrix(toks, vocab, max_seq_length, emb_dim, fmt=features_fmt)
+    # fused normalize+tokenize+featurize: ONE Arrow round trip (the split
+    # form ships token arrays Python->JVM->Python through two eval nodes)
+    feats = featurize_fused(slim, vocab, max_seq_length, emb_dim)
     out_cols = [
         "conv_id",
         "turn_idx",
