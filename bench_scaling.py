@@ -125,10 +125,24 @@ def cpu_ceiling() -> dict:
     }
 
 
+def _merge(a: dict, b: dict) -> dict:
+    """Min-of-two-processes per config (the sandbox host shows ~±20% noise;
+    interleaved rounds cancel drift, min estimates true capability)."""
+    out = dict(a)
+    out["runs_sec"] = a["runs_sec"] + b["runs_sec"]
+    if b["best_sec"] < a["best_sec"]:
+        out["best_sec"], out["turns_per_sec"] = b["best_sec"], b["turns_per_sec"]
+    return out
+
+
 def main():
     r2 = run_config(2, n_iter=3)
-    r8 = run_config(8)
-    r32 = run_config(32)
+    r8 = run_config(8, n_iter=4)
+    r32 = run_config(32, n_iter=4)
+    # second interleaved round
+    r2 = _merge(r2, run_config(2, n_iter=2))
+    r8 = _merge(r8, run_config(8, n_iter=3))
+    r32 = _merge(r32, run_config(32, n_iter=3))
     assert r8["checksum"] == r32["checksum"] == r2["checksum"], (
         "determinism across parallelism broken!"
     )
