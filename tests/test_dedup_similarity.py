@@ -132,3 +132,23 @@ def test_rolling_fingerprint(spark):
     base, mod = 1_000_003, (1 << 61) - 1
     want = (ord("a") + ord("b") * base) % mod
     assert got[0] == want
+
+
+def test_ivf_cosine_topk(spark):
+    from deep_ner_spark.operators.similarity import cosine_topk, ivf_cosine_topk
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((60, 16)).astype("float32")
+    base[30] = base[7]  # exact duplicate: same coarse list, rank-1 neighbor
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(60), "embedding": [list(map(float, v)) for v in base]})
+    )
+    q = emb.where(F.col("vec_id") == 7)
+    approx = ivf_cosine_topk(emb, q, k=1, n_lists=8, n_probe=2).collect()
+    assert approx and approx[0]["neighbor_id"] == 30
+    # with n_probe == n_lists the probe is exhaustive -> equals exact top-k
+    exact = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in cosine_topk(emb, q, k=3).collect()}
+    full = {(r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in ivf_cosine_topk(emb, q, k=3, n_lists=8, n_probe=8).collect()}
+    assert full == exact
