@@ -1208,6 +1208,30 @@ def q_flagship_featurize(spark, sf_dir):
     )
 
 
+@_q(
+    "ivf_cosine_topk_exhaustive",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    d AS (SELECT vec_id AS neighbor_id, embedding AS dv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, dv) AS cos
+          FROM q, d WHERE query_id <> neighbor_id),
+    r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM s)
+    SELECT query_id, rnk, neighbor_id FROM r WHERE rnk <= 3
+    """,
+)
+def q_ivf_cosine_topk(spark, sf_dir):
+    """IVF coarse-quantized ANN with exhaustive probing (n_probe == n_lists)
+    must equal the exact brute-force top-k — same oracle as cosine_topk."""
+    from deep_ner_spark.operators.similarity import ivf_cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = ivf_cosine_topk(emb, queries, k=3, n_lists=8, n_probe=8)
+    return out.select("query_id", F.col("rank").cast("long").alias("rnk"), "neighbor_id")
+
+
 @_q("embedding_near_dup")
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs via LSH buckets (rows-only; the

@@ -78,56 +78,74 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    strategy: str = "auto",
 ) -> DataFrame:
-    """Near-duplicate pairs by n-gram Jaccard similarity — EXACT, with
-    PPJoin-style prefix filtering for candidate generation.
+    """Near-duplicate pairs by n-gram Jaccard similarity — EXACT under
+    every strategy; the strategy only changes candidate generation.
 
-    Lemma: J(x,y) >= t implies |x ∩ y| >= ceil(t*|x|), so any qualifying
-    pair shares at least one shingle among each side's first
-    |x| - ceil(t*|x|) + 1 shingles in a global canonical order.  Ordering
-    shingles by ascending corpus frequency makes prefixes the RARE
-    shingles, collapsing the self-join volume that a naive shared-shingle
-    join spends on stop-shingles.  Candidates then verify with the full
-    intersection count; results are identical to the naive join.
+    * ``prefix`` (PPJoin-style): J(x,y) >= t implies |x ∩ y| >= ceil(t*|x|),
+      so a qualifying pair shares a shingle among each side's first
+      |x| - ceil(t*|x|) + 1 shingles in a global rare-shingle-first order —
+      collapses self-join volume on stop-shingle corpora, but the prefix is
+      barely shorter than the doc below t ~ 0.6, where its extra passes
+      (frequency rank + verification join) cost more than they save.
+    * ``naive``: full shared-shingle self-join.
+    * ``auto``: prefix for threshold >= 0.6, naive below.
 
     Output: (id_a, id_b, inter, size_a, size_b, jaccard), id_a < id_b.
     """
+    if strategy == "auto":
+        strategy = "prefix" if threshold >= 0.6 else "naive"
     sh = doc_shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("size"))
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    ranked = sh.join(freq, "shingle")
 
-    from pyspark.sql.window import Window
+    if strategy == "prefix":
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        ranked = sh.join(freq, "shingle")
 
-    w = Window.partitionBy(id_col).orderBy("df", "shingle")
-    prefix = (
-        ranked.withColumn("pos", F.row_number().over(w))
-        .join(sizes, id_col)
-        .where(
-            F.col("pos")
-            <= F.col("size") - F.ceil(F.lit(threshold) * F.col("size")) + 1
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(id_col).orderBy("df", "shingle")
+        prefix = (
+            ranked.withColumn("pos", F.row_number().over(w))
+            .join(sizes, id_col)
+            .where(
+                F.col("pos")
+                <= F.col("size") - F.ceil(F.lit(threshold) * F.col("size")) + 1
+            )
+            .select(id_col, "shingle")
         )
-        .select(id_col, "shingle")
-    )
-    a = prefix.alias("a")
-    b = prefix.alias("b")
-    cand = (
-        a.join(b, on="shingle")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        a = prefix.alias("a")
+        b = prefix.alias("b")
+        cand = (
+            a.join(b, on="shingle")
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+            .distinct()
         )
-        .distinct()
-    )
-    # exact verification: full intersection count for candidates only
-    sa_sh = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sb_sh = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        cand.join(sa_sh, "id_a")
-        .join(sb_sh, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
+        # exact verification: full intersection count for candidates only
+        sa_sh = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        sb_sh = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (
+            cand.join(sa_sh, "id_a")
+            .join(sb_sh, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, on="shingle")
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count("*").alias("inter"))
+        )
     sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("size", "size_a")
     sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("size", "size_b")
     out = (
