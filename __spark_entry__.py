@@ -80,13 +80,16 @@ def entry(spark: SparkSession) -> DataFrame:
     sf_dir = "/root/testdata/sf0.001"
     transcripts = _derived_transcripts(spark, sf_dir)
     ev = _read(spark, sf_dir, "events")
+    # event_id as the state-sequence tiebreaker: purchases sharing one
+    # (user, ts) attach deterministically (highest event_id wins)
     state = ev.where(F.col("event_type") == "purchase").select(
         F.col("user_id").cast("string").alias("entity_id"),
         "ts",
+        F.col("event_id").alias("state_seq"),
         F.array(F.col("value")).alias("state"),
     )
     out, _vocab = featurize_transcripts(
-        transcripts, state, max_seq_length=32, emb_dim=16
+        transcripts, state, max_seq_length=32, emb_dim=16, state_seq_col="state_seq"
     )
     return out.drop("features", "tokens", "starts", "ends").withColumn(
         "ts_us", _us("ts")
@@ -508,6 +511,38 @@ def q_corpus_stats(spark, sf_dir):
         F.max("n_tokens").alias("max_tokens"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.expr("percentile(n_tokens, 0.5)").alias("median_tokens"),
+    )
+
+
+# --- A9: epoch mean log-likelihood --------------------------------------------
+
+
+@_q(
+    "epoch_mean_loglik",
+    """
+    SELECT CAST(event_id % 4 AS BIGINT) AS epoch,
+           count(*) AS n_batches,
+           CAST(sum(-CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / count(*)
+             AS mean_log_likelihood
+    FROM events GROUP BY 1
+    """,
+)
+def q_epoch_mean_loglik(spark, sf_dir):
+    """SURVEY A9 (elmo_ner.py:149-166): per-epoch mean of per-batch
+    log-likelihoods.  The TF CRF log-likelihood is replaced by a
+    deterministic integer-cent stand-in (-value in cents) so both engines
+    sum exactly and the mean is ONE double division (bit-identical);
+    structure — group scores by epoch, average — is the reference's."""
+    ev = _read(spark, sf_dir, "events")
+    ll = ev.select(
+        (F.col("event_id") % 4).cast("long").alias("epoch"),
+        (-F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("ll_cents"),
+    )
+    return ll.groupBy("epoch").agg(
+        F.count("*").alias("n_batches"),
+        (F.sum("ll_cents").cast("double") / F.count("*")).alias(
+            "mean_log_likelihood"
+        ),
     )
 
 
@@ -1135,7 +1170,11 @@ def q_viterbi_decode(spark, sf_dir):
     )
     trans = [[0.0, 1.0, -1.0], [1.0, 0.0, 1.0], [-1.0, 1.0, 0.0]]
     out = decode_labels(logits, "logits", trans)
-    return out.select("user_id", F.col("label_ids"))
+    # scalar rows (user_id, pos, label_id): the driver's canonicalizer sorts
+    # the frame and cannot hash array cells, so explode the decoded path
+    return out.select(
+        "user_id", F.posexplode("label_ids").alias("pos", "label_id")
+    )
 
 
 @_q("stratified_split")
@@ -1183,11 +1222,63 @@ def q_multimodal_image_features(spark, sf_dir):
 # --- flagship featurize (rows-only: feature matrices are not SQL) -------------
 
 
-@_q("flagship_featurize")
+@_q(
+    "flagship_featurize",
+    f"""
+    WITH t AS (
+      SELECT CAST(user_id AS VARCHAR) AS conv_id,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+             CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS role,
+             event_type || ' ' || props AS text,
+             ts
+      FROM events),
+    s AS (
+      SELECT CAST(user_id AS VARCHAR) AS conv_id, ts, event_id AS state_seq, value AS sv
+      FROM events WHERE event_type = 'purchase'),
+    u AS (
+      SELECT conv_id, turn_idx, role, text, ts,
+             CAST(NULL AS DOUBLE) AS sv, CAST(NULL AS BIGINT) AS state_seq, 0 AS is_state
+      FROM t
+      UNION ALL
+      SELECT conv_id, NULL, NULL, NULL, ts, sv, state_seq, 1 FROM s),
+    filled AS (
+      SELECT *, last_value(CASE WHEN is_state = 1 THEN sv END IGNORE NULLS) OVER (
+          PARTITION BY conv_id
+          ORDER BY ts, is_state DESC, state_seq ASC NULLS FIRST, turn_idx ASC NULLS FIRST
+          ROWS UNBOUNDED PRECEDING) AS state_value
+      FROM u),
+    turns AS (
+      SELECT conv_id, turn_idx, role, text, ts, state_value FROM filled WHERE is_state = 0),
+    sess AS (
+      SELECT *, CAST(sum(is_new) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                   ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+      FROM (
+        SELECT *, CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                       > {SESSION_GAP_US} OR
+                       lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) IS NULL
+                       THEN 1 ELSE 0 END AS is_new
+        FROM turns)),
+    tok AS (
+      SELECT *, CAST(least(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')), 16) AS INT) AS n_tokens
+      FROM sess)
+    SELECT conv_id, turn_idx, session_id,
+           last_value(role IGNORE NULLS) OVER (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS UNBOUNDED PRECEDING) AS role_ffill,
+           n_tokens,
+           lag(n_tokens)  OVER (PARTITION BY conv_id ORDER BY turn_idx) AS n_tokens_lag1,
+           lead(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS n_tokens_lead1,
+           state_value
+    FROM tok
+    """,
+)
 def q_flagship_featurize(spark, sf_dir):
-    """Full point-in-time featurization over derived transcripts (rows-only
-    check: per-turn feature matrices + as-of state are validated by the
-    pytest parity suite instead)."""
+    """Full point-in-time featurization over derived transcripts.  The slim
+    phase (sessionize + role ffill + token-count lag/lead + as-of state) is
+    oracle-paired: the SQL twin composes the union-tag as-of, gap sessionize
+    and window fills over the same events table.  The feature matrices
+    themselves stay pytest-validated (not SQL-expressible).  Token counting
+    is portable here because the derived text is ASCII (DuckDB RE2 \\w ==
+    Spark (?U)\\w on ASCII)."""
     from deep_ner_spark.pipeline import featurize_transcripts
 
     transcripts = _derived_transcripts(spark, sf_dir)
@@ -1195,15 +1286,20 @@ def q_flagship_featurize(spark, sf_dir):
     state = ev.where(F.col("event_type") == "purchase").select(
         F.col("user_id").cast("string").alias("entity_id"),
         "ts",
+        F.col("event_id").alias("state_seq"),
         F.array(F.col("value")).alias("state"),
     )
-    out, _ = featurize_transcripts(transcripts, state, max_seq_length=16, emb_dim=8)
+    out, _ = featurize_transcripts(
+        transcripts, state, max_seq_length=16, emb_dim=8, state_seq_col="state_seq"
+    )
     return out.select(
         "conv_id",
         "turn_idx",
         "session_id",
         "role_ffill",
         "n_tokens",
+        "n_tokens_lag1",
+        "n_tokens_lead1",
         F.col("state").getItem(0).alias("state_value"),
     )
 
@@ -1232,21 +1328,56 @@ def q_ivf_cosine_topk(spark, sf_dir):
     return out.select("query_id", F.col("rank").cast("long").alias("rnk"), "neighbor_id")
 
 
-@_q("embedding_near_dup")
+@_q(
+    "embedding_near_dup",
+    """
+    WITH base AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, list_transform(embedding, x -> x * CAST(2.0 AS FLOAT))
+      FROM embeddings WHERE vec_id % 10 = 0)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM base a JOIN base b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+    """,
+)
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via LSH buckets (rows-only; the
-    exact-duplicate guarantee is unit-tested)."""
+    """Embedding-cosine near-dup pairs via LSH buckets, checked against a
+    brute-force all-pairs oracle.  The input unions scaled copies (x2) of
+    every 10th vector so duplicate pairs exist at any sf (cosine is
+    scale-invariant, so each copy is an exact angular duplicate and provably
+    lands in its original's hyperplane bucket: all dot-product signs
+    match)."""
     from deep_ner_spark.operators.similarity import embedding_near_dup_pairs
 
-    emb = _read(spark, sf_dir, "embeddings")
-    out = embedding_near_dup_pairs(emb, 64, threshold=0.9, n_planes=6)
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    out = embedding_near_dup_pairs(emb.unionByName(dups), 64, threshold=0.9, n_planes=6)
     return out.select("id_a", "id_b")
 
 
-@_q("rolling_fingerprint")
+@_q(
+    "rolling_fingerprint",
+    """
+    SELECT doc_id,
+           CASE WHEN length(text) = 0 THEN 0 ELSE
+             CAST(list_reduce(
+               list_transform(generate_series(length(text), 1, -1),
+                              i -> CAST(unicode(text[i:i]) AS HUGEINT)),
+               (acc, c) -> (acc * 1000003 + c) % 2305843009213693951
+             ) AS BIGINT) END AS rolling_fp
+    FROM documents
+    """,
+)
 def q_rolling_fingerprint(spark, sf_dir):
-    """Order-sensitive Karp-Rabin document fingerprint (rows-only; value
-    semantics unit-tested against the closed form)."""
+    """Order-sensitive Karp-Rabin document fingerprint.  Oracle: DuckDB
+    HUGEINT Horner fold over reversed codepoints — h = sum(ord(c_i)*base^i)
+    mod 2^61-1 == fold_left(reverse(codes), acc*base + c mod m)."""
     from deep_ner_spark.operators.textstats import rolling_fingerprint
 
     return rolling_fingerprint(

@@ -73,7 +73,7 @@ def run(spark) -> dict:
     # sample() keeps the input partitioning so every worker slot spawns
     warm, _ = featurize_transcripts(
         transcripts.sample(0.02, seed=1), state.sample(0.05, seed=1),
-        max_seq_length=8, emb_dim=4,
+        max_seq_length=8, emb_dim=4, state_seq_col="state_seq",
     )
     warm.select(F.sum(F.length("features"))).collect()
 
@@ -81,7 +81,8 @@ def run(spark) -> dict:
     # the measurement is compute + shuffle, not driver collect
     def flagship():
         out, _ = featurize_transcripts(
-            transcripts, state, max_seq_length=32, emb_dim=16
+            transcripts, state, max_seq_length=32, emb_dim=16,
+            state_seq_col="state_seq",
         )
         # consume the feature blobs so the measurement includes assembly +
         # transfer (a pruned count would skip the UDF entirely)
@@ -90,6 +91,9 @@ def run(spark) -> dict:
             F.sum(F.length("features")).alias("feat_bytes"),
             F.sum(F.crc32(F.col("norm_text"))).alias("chk"),
             F.sum("n_tokens").alias("tok"),
+            # state checksum: catches nondeterministic as-of tie resolution
+            # (duplicate (conv, ts) state rows) that the text crc cannot
+            F.sum(F.crc32(F.col("state").cast("string"))).alias("state_chk"),
         ).collect()[0]["n"]
 
     # best-of-2: the sandbox host shows ~±20% noise windows

@@ -45,11 +45,15 @@ tr = spark.read.parquet(base + "/transcripts.parquet")
 st = spark.read.parquet(base + "/entity_state.parquet")
 
 def job():
-    out, _ = featurize_transcripts(tr, st, max_seq_length=32, emb_dim=16)
+    out, _ = featurize_transcripts(tr, st, max_seq_length=32, emb_dim=16,
+                                   state_seq_col="state_seq")
     row = out.select(
         F.count("*").alias("n"),
         F.sum(F.length("features")).alias("fb"),
-        F.sum(F.crc32("norm_text")).alias("chk"),
+        # crc over BOTH text and attached state: the state term catches
+        # nondeterministic as-of tie resolution across parallelism levels
+        (F.sum(F.crc32("norm_text"))
+         + F.sum(F.crc32(F.col("state").cast("string")))).alias("chk"),
     ).collect()[0]
     return row["n"], row["chk"]
 

@@ -63,17 +63,18 @@ def label_tokens_colocated(
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         out_labels = []
-        for _, row in pdf.iterrows():
-            starts, ends = row["starts"], row["ends"]
+        # column zip, not iterrows: avoids per-row Series construction
+        for starts, ends, spans, norm_text in zip(
+            pdf["starts"], pdf["ends"], pdf["spans"], pdf["norm_text"]
+        ):
             bounds = list(zip(starts, ends))
-            spans = row["spans"]
             if spans is None or (isinstance(spans, float) and pd.isna(spans)):
                 out_labels.append([0] * len(bounds))
                 continue
             ner: dict = {}
             for s in spans:
                 ner.setdefault(s["ne_type"], []).append((int(s["start"]), int(s["end"])))
-            text_len = len(row["norm_text"])
+            text_len = len(norm_text)
             paint, inst_to_class = textfns.paint_entity_chars(text_len, classes, ner)
             labels = textfns.token_labels(bounds, paint, inst_to_class, len(bounds))
             out_labels.append([int(x) for x in labels])
@@ -104,6 +105,19 @@ def label_tokens_relational(
     end, instance_id) on char-interval overlap; per token keep the instance
     with max overlap (ties -> lowest instance id, like distr.argmax);
     overlap below half the token length floors to O (utils.py:998 analog).
+
+    Known divergences from :func:`label_tokens_colocated` (which follows
+    elmo_ner.py:1026-1064 and is the authoritative path):
+
+    * instance-vs-instance majority ties resolve by lowest instance id in
+      both paths, but the colocated path counts painted CHARS while this
+      path compares interval overlaps — equal on non-overlapping spans;
+    * an exact O-vs-entity tie (overlap == tok_len - overlap, i.e. a token
+      exactly half-covered) labels the ENTITY here (utils.py:998 keeps
+      overlap >= floor(tok_len / 2)) but O in the colocated path
+      (bincount argmax picks index 0, elmo_ner.py:1050).  Both reference
+      files exist with these exact semantics; this function mirrors
+      utils.py, the colocated one mirrors elmo_ner.py.
     """
     t = token_df.alias("t")
     e = entity_spans.alias("e")

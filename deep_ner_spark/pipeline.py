@@ -40,6 +40,7 @@ def featurize_transcripts(
     salted: bool = False,
     n_salts: int = 8,
     features_fmt: str = "binary",
+    state_seq_col: str | None = None,
 ) -> Tuple[DataFrame, Tuple[str, ...]]:
     """Returns (featurized turns DataFrame, fitted shape vocabulary).
 
@@ -57,13 +58,20 @@ def featurize_transcripts(
         state = entity_state.withColumnRenamed("entity_id", "conv_id")
         join = asof_join_salted if salted else asof_join
         kwargs = {"n_salts": n_salts} if salted else {}
+        # state_seq_col breaks ties among state rows sharing one (conv, ts):
+        # without it, F.last over fully-equal sort keys picks whichever row
+        # the shuffle ordered last, making the attached state nondeterministic
+        state_cols = ["conv_id", "ts", "state"] + (
+            [state_seq_col] if state_seq_col else []
+        )
         slim = join(
             slim,
-            state.select("conv_id", "ts", "state"),
+            state.select(*state_cols),
             key_cols=["conv_id"],
             ts_col="ts",
             state_cols=["state"],
             seq_col="turn_idx",
+            state_seq_col=state_seq_col,
             **kwargs,
         )
     slim = sessionize(
@@ -153,17 +161,26 @@ def predict_entities(
     def run(batches):
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                m = decode_feature_matrix(r["features"], int(r["feature_width"]))
+            # column zip, not iterrows: row-object construction would dominate
+            # the (numpy matmul) per-turn work at Arrow batch sizes
+            for conv_id, turn_idx, features, width, starts, ends in zip(
+                pdf["conv_id"],
+                pdf["turn_idx"],
+                pdf["features"],
+                pdf["feature_width"],
+                pdf["starts"],
+                pdf["ends"],
+            ):
+                m = decode_feature_matrix(features, int(width))
                 if m.shape[0] == 0:
                     continue
                 logits = m @ W
                 labels = viterbi_decode(logits, trans)
-                bounds = list(zip(r["starts"], r["ends"]))[: m.shape[0]]
+                bounds = list(zip(starts, ends))[: m.shape[0]]
                 spans = textfns.decode_bio_spans(bounds, classes, labels.tolist())
                 for ne_type in spans:
                     for s, e in spans[ne_type]:
-                        rows.append((r["conv_id"], int(r["turn_idx"]), ne_type, s, e))
+                        rows.append((conv_id, int(turn_idx), ne_type, s, e))
             yield pd.DataFrame(
                 rows, columns=["conv_id", "turn_idx", "ne_type", "start", "end"]
             )
