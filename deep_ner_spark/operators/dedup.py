@@ -66,10 +66,33 @@ def exact_dedup(df: DataFrame, text_col: str, order_col: str) -> DataFrame:
 
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) long form — the substrate for jaccard/minhash."""
-    return df.select(
-        F.col(id_col), F.explode(shingles_col(F.col(text_col), n)).alias("shingle")
-    )
+    """(id, size, shingle) long form — the substrate for jaccard/minhash;
+    ``size`` is the doc's distinct-shingle count (0-shingle docs drop out).
+
+    Physical notes (each measured ~4-8x on the shingle stage):
+    * the shingle array must be computed exactly ONCE: a plain
+      ``explode`` triggers InferFiltersFromGenerate, whose ``size(arr) > 0
+      AND isnotnull(arr)`` filter is pushed below the projection and
+      re-evaluates the (interpreted, non-codegen) higher-order-function
+      chain 3x per row — ``explode_outer`` infers no filter, and the cheap
+      null check on the OUTPUT attribute replaces it;
+    * ``size`` is projected in a SECOND select so it references the array
+      attribute — CollapseProject keeps non-cheap aliases used twice, so
+      the array is not inlined into the size expression;
+    * a small scan (fewer splits than cores) is repartitioned on the slim
+      (id, text) columns first so the expensive projection parallelizes; a
+      many-split corpus-scale input skips the branch.
+    """
+    docs = df.select(F.col(id_col), F.col(text_col).alias("__text"))
+    sc = df.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
+    base = docs.select(
+        F.col(id_col), shingles_col(F.col("__text"), n).alias("__sh")
+    ).select(id_col, "__sh", F.size("__sh").alias("size"))
+    return base.select(
+        id_col, "size", F.explode_outer("__sh").alias("shingle")
+    ).where(F.col("shingle").isNotNull())
 
 
 def jaccard_pairs(
@@ -83,21 +106,30 @@ def jaccard_pairs(
     """Near-duplicate pairs by n-gram Jaccard similarity — EXACT under
     every strategy; the strategy only changes candidate generation.
 
-    * ``prefix`` (PPJoin-style): J(x,y) >= t implies |x ∩ y| >= ceil(t*|x|),
-      so a qualifying pair shares a shingle among each side's first
-      |x| - ceil(t*|x|) + 1 shingles in a global rare-shingle-first order —
-      collapses self-join volume on stop-shingle corpora, but the prefix is
-      barely shorter than the doc below t ~ 0.6, where its extra passes
-      (frequency rank + verification join) cost more than they save.
-    * ``naive``: full shared-shingle self-join.
-    * ``auto``: prefix for threshold >= 0.6, naive below.
+    * ``prefix`` (PPJoin-style, the default at every threshold): J(x,y) >= t
+      implies |x ∩ y| >= ceil(t*|x|), so a qualifying pair shares a shingle
+      among each side's first |x| - ceil(t*|x|) + 1 shingles in a global
+      rare-shingle-first order.  Candidates are further pruned by PPJoin's
+      length filter (min(|x|,|y|) >= t*max(|x|,|y|), since the intersection
+      is bounded by the smaller set and must cover t of the union) and
+      positional filter (for the matched prefix shingle at positions
+      (pa, pb), overlap <= 1 + min(|x|-pa, |y|-pb), which must reach the
+      Jaccard-equivalent overlap t/(1+t)*(|x|+|y|); the first common shingle
+      of a qualifying pair always survives, so recall stays exact).  On a
+      web-scale corpus a stop-shingle's join group no longer scales with the
+      number of documents containing it, only with the number whose PREFIX
+      contains it — documents made mostly of stop-shingles.
+    * ``naive``: full shared-shingle self-join.  O(corpus^2) on hot
+      shingles — kept only as a cross-check/baseline; never chosen by auto.
 
     Output: (id_a, id_b, inter, size_a, size_b, jaccard), id_a < id_b.
     """
     if strategy == "auto":
-        strategy = "prefix" if threshold >= 0.6 else "naive"
-    sh = doc_shingles(df, id_col, text_col, n).cache()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("size"))
+        strategy = "prefix"
+    # no .cache(): a cached frame here would leak executor storage across
+    # calls in a long-lived session.  doc_shingles carries the per-doc size
+    # narrowly (no groupBy pass) and evaluates the shingle HOF exactly once.
+    sh = doc_shingles(df, id_col, text_col, n)
 
     if strategy == "prefix":
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -106,57 +138,76 @@ def jaccard_pairs(
         from pyspark.sql.window import Window
 
         w = Window.partitionBy(id_col).orderBy("df", "shingle")
-        prefix = (
-            ranked.withColumn("pos", F.row_number().over(w))
-            .join(sizes, id_col)
-            .where(
-                F.col("pos")
-                <= F.col("size") - F.ceil(F.lit(threshold) * F.col("size")) + 1
-            )
-            .select(id_col, "shingle")
-        )
+        prefix = ranked.withColumn("pos", F.row_number().over(w)).where(
+            F.col("pos")
+            <= F.col("size") - F.ceil(F.lit(threshold) * F.col("size")) + 1
+        ).select(id_col, "shingle", "pos", "size")
         a = prefix.alias("a")
         b = prefix.alias("b")
+        sa_c, sb_c = F.col("a.size"), F.col("b.size")
+        overlap_needed = F.lit(threshold / (1.0 + threshold)) * (sa_c + sb_c)
         cand = (
             a.join(b, on="shingle")
             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # length filter: min size must reach t * max size
+            .where(F.least(sa_c, sb_c) >= F.lit(threshold) * F.greatest(sa_c, sb_c))
+            # positional filter: remaining-suffix overlap bound
+            .where(
+                F.least(sa_c - F.col("a.pos"), sb_c - F.col("b.pos")) + 1
+                >= overlap_needed
+            )
             .select(
                 F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
             )
             .distinct()
         )
-        # exact verification: full intersection count for candidates only
-        sa_sh = sh.select(F.col(id_col).alias("id_a"), "shingle")
-        sb_sh = sh.select(F.col(id_col).alias("id_b"), "shingle")
-        inter = (
-            cand.join(sa_sh, "id_a")
-            .join(sb_sh, ["id_b", "shingle"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("inter"))
+        # exact verification: JVM array_intersect on the two shingle arrays.
+        # Shingle ONLY candidate docs: join ids first, project the array
+        # after the join, so the corpus is never re-shingled for this step
+        # (candidates << corpus at any useful threshold).
+        cand_ids = (
+            cand.select(F.col("id_a").alias(id_col))
+            .union(cand.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        cand_arrays = (
+            df.select(F.col(id_col), F.col(text_col).alias("__text"))
+            .join(cand_ids, id_col)
+            .select(F.col(id_col), shingles_col(F.col("__text"), n).alias("__sh"))
+            .select(id_col, "__sh", F.size("__sh").alias("size"))
+        )
+        arr_a = cand_arrays.select(
+            F.col(id_col).alias("id_a"),
+            F.col("__sh").alias("__sh_a"),
+            F.col("size").alias("size_a"),
+        )
+        arr_b = cand_arrays.select(
+            F.col(id_col).alias("id_b"),
+            F.col("__sh").alias("__sh_b"),
+            F.col("size").alias("size_b"),
+        )
+        out = (
+            cand.join(arr_a, "id_a")
+            .join(arr_b, "id_b")
+            .withColumn("inter", F.size(F.array_intersect("__sh_a", "__sh_b")).cast("long"))
         )
     else:
-        a = sh.alias("a")
-        b = sh.alias("b")
-        inter = (
+        a = sh.select(
+            F.col(id_col).alias("id_a"), F.col("size").alias("size_a"), "shingle"
+        )
+        b = sh.select(
+            F.col(id_col).alias("id_b"), F.col("size").alias("size_b"), "shingle"
+        )
+        out = (
             a.join(b, on="shingle")
-            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .groupBy(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-            )
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "size_a", "size_b")
             .agg(F.count("*").alias("inter"))
         )
-    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("size", "size_a")
-    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("size", "size_b")
-    out = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    out = out.withColumn(
+        "jaccard",
+        F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+    ).where(F.col("jaccard") >= threshold)
     return out.select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
 
 
@@ -168,20 +219,31 @@ def minhash_signatures(
     Lexicographic min over fixed-width hex == numeric min, and md5 is
     identical across engines, so the oracle can reproduce signatures
     exactly.  Empty shingle sets yield no rows (doc shorter than n tokens).
+
+    Physical shape: ONE wide aggregation with ``n_hashes`` min columns
+    (map-side combined) instead of an n_hashes-way row explode — the shuffle
+    carries one row per doc, not one per (shingle, hash slot); the long-form
+    (id, h_idx, minhash) output is re-derived by an explode AFTER the agg.
     """
     sh = doc_shingles(df, id_col, text_col, n)
-    expanded = sh.select(
-        id_col,
-        "shingle",
-        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("h_idx"),
-    )
-    return (
-        expanded.groupBy(id_col, "h_idx")
-        .agg(
+    wide = sh.groupBy(id_col).agg(
+        *[
             F.min(
-                F.md5(F.concat_ws(":", F.col("shingle"), F.col("h_idx")))
-            ).alias("minhash")
-        )
+                F.md5(F.concat_ws(":", F.col("shingle"), F.lit(str(i))))
+            ).alias(f"__h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    slots = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("h_idx"), F.col(f"__h{i}").alias("minhash")
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    return wide.select(id_col, F.explode(slots).alias("__s")).select(
+        id_col, F.col("__s.h_idx").alias("h_idx"), F.col("__s.minhash").alias("minhash")
     )
 
 
@@ -225,25 +287,31 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     position, sum (+1 / -1) over tokens; sign -> bit.  Output: (id, simhash
     bigint).  Ties (sum == 0) resolve to bit 0.
     """
+    # explode_outer + null filter: a plain explode would infer a size>0
+    # filter below the projection and re-evaluate the token split 3x
     toks = df.select(
-        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
-    ).withColumn("h", F.md5("token"))
-    bits = toks.select(
-        id_col,
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
-    ).withColumn(
-        "hexd",
-        F.expr("instr('0123456789abcdef', substring(h, CAST(b / 4 AS INT) + 1, 1)) - 1"),
-    ).withColumn("bit", F.expr("shiftright(hexd, CAST(b % 4 AS INT)) & 1"))
-    sums = bits.groupBy(id_col, "b").agg(
-        F.sum(F.col("bit") * 2 - 1).alias("s")
+        F.col(id_col), F.explode_outer(tokens_col(F.col(text_col))).alias("token")
+    ).where(F.col("token").isNotNull()).withColumn("h", F.md5("token"))
+    # ONE wide aggregation with 64 (+1/-1) sum columns instead of a 64-way
+    # row explode: the shuffle carries one row per doc, map-side combined,
+    # and no 64x (id, h, b) row materialization happens at all
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.expr(
+                    f"(shiftright(instr('0123456789abcdef', substring(h, {b // 4 + 1}, 1)) - 1, {b % 4}) & 1) * 2 - 1"
+                )
+            ).alias(f"__s{b}")
+            for b in range(64)
+        ]
     )
-    return sums.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+    packed = None
+    for b in range(64):
+        term = F.when(
+            F.col(f"__s{b}") > 0, F.expr(f"shiftleft(CAST(1 AS BIGINT), {b})")
+        ).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    return sums.select(id_col, packed.alias("simhash"))
 
 
 def hamming_near_pairs(

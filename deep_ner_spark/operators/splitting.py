@@ -41,14 +41,29 @@ def split_assignment(
     n_restarts: int = 10,
     sample_col: str = "sample_id",
     class_col: str = "ne_type",
+    max_driver_samples: int = 10_000_000,
 ) -> DataFrame:
     """Returns (sample_id, is_test boolean) assignment table.
 
     Mirrors split_dataset (dataset_splitting.py:8-73) with a seeded rng in
     place of global np.random state.
+
+    Scale ceiling: the shuffle/retry loop needs the full (sample_id,
+    class_set) list on the driver — exact parity with the reference's
+    whole-permutation semantics requires it.  Above ``max_driver_samples``
+    (default 10M ids; ~hundreds of MB of driver heap) this raises and
+    points to :func:`split_assignment_hashed`, the fully distributed
+    restart search for corpus-scale inputs.
     """
     if n_restarts < 2:
         raise ValueError(f"{n_restarts} is too small value of restarts number.")
+    n_total = units.count()
+    if n_total > max_driver_samples:
+        raise ValueError(
+            f"{n_total} samples exceed the driver-side ceiling "
+            f"({max_driver_samples}); use split_assignment_hashed for "
+            "corpus-scale inputs."
+        )
     ids = [r[sample_col] for r in units.select(sample_col).orderBy(sample_col).collect()]
     n_samples = len(ids)
     if n_samples < 2:
@@ -76,7 +91,9 @@ def split_assignment(
         if tr == te:
             best = indices.copy()
             break
-        if te < tr and best is None:
+        if te < tr:
+            # every subset-qualifying shuffle OVERWRITES best (the reference
+            # keeps the LAST such shuffle, dataset_splitting.py:50-51)
             best = indices.copy()
     if best is None:
         warnings.warn("Data set cannot be splitted by stratified folds.")
@@ -91,6 +108,70 @@ def split_assignment(
     return spark.createDataFrame(
         [(i, i in test_ids) for i in ids], [sample_col, "is_test"]
     )
+
+
+def split_assignment_hashed(
+    units: DataFrame,
+    spans: DataFrame,
+    test_part: float,
+    seed: int = 42,
+    n_restarts: int = 10,
+    sample_col: str = "sample_id",
+    class_col: str = "ne_type",
+) -> DataFrame:
+    """Corpus-scale stratified split: a fully distributed restart search.
+
+    Same acceptance rule as :func:`split_assignment` (accept when train/test
+    class sets are EQUAL; remember the LAST restart whose test classes are a
+    proper subset; warn and take the last restart otherwise), but each
+    restart assigns is_test = hash(sample_id, seed + r) < test_part instead
+    of permuting all ids on the driver — nothing corpus-sized ever leaves
+    the executors.  Per restart the only driver traffic is two class sets
+    (one tiny 2-row aggregate over the spans).  Trade-off vs the exact
+    mirror: the test fraction is test_part in expectation, not exactly
+    round(test_part * n) — the standard large-N relaxation.
+    """
+    if n_restarts < 2:
+        raise ValueError(f"{n_restarts} is too small value of restarts number.")
+    bound = int(test_part * 1_000_000)
+
+    def assign_for(r: int) -> DataFrame:
+        return units.select(
+            sample_col,
+            (
+                F.pmod(F.xxhash64(F.col(sample_col), F.lit(seed + r)), F.lit(1_000_000))
+                < bound
+            ).alias("is_test"),
+        )
+
+    def class_sets_of(assign: DataFrame):
+        rows = (
+            spans.join(assign, sample_col)
+            .groupBy("is_test")
+            .agg(F.collect_set(class_col).alias("classes"))
+            .collect()
+        )
+        by_side = {bool(r["is_test"]): frozenset(r["classes"]) for r in rows}
+        return by_side.get(False, frozenset()), by_side.get(True, frozenset())
+
+    best_r = None
+    last_r = 0
+    for r in range(n_restarts):
+        last_r = r
+        tr, te = class_sets_of(assign_for(r))
+        if tr == te:
+            best_r = r
+            break
+        if te < tr:
+            best_r = r  # last subset-qualifying restart wins (reference rule)
+    if best_r is None:
+        warnings.warn("Data set cannot be splitted by stratified folds.")
+        best_r = last_r
+    else:
+        tr, te = class_sets_of(assign_for(best_r))
+        if tr != te:
+            warnings.warn("Data set cannot be splitted by stratified folds.")
+    return assign_for(best_r)
 
 
 def split_dataset_df(

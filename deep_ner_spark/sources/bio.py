@@ -106,13 +106,20 @@ def load_bio_dataset(
     )
 
     # validation (utils.py:889-900): non-blank lines need >=2 fields and a
-    # legal uppercase label
+    # legal label — label.isupper() (no lowercase; digits/underscores fine,
+    # so 'B-LOC1' and 'B-ORG_X' are legal), 'O' or a B-/I- prefix, and
+    # len >= 3 for non-O.  (isupper's >=1-cased-char clause is implied by
+    # the O/B/I prefix.)
+    label_ok = (F.col("label") == F.upper("label")) & (
+        (F.col("label") == "O")
+        | (
+            (F.col("label").startswith("B-") | F.col("label").startswith("I-"))
+            & (F.length("label") >= 3)
+        )
+    )
     bad = parsed.where(
         (F.length("line") > 0)
-        & (
-            (F.size(F.split("line", r"\s+")) < 2)
-            | ~F.col("label").rlike(r"^(O|[BI]-[A-Z]+)$")
-        )
+        & ((F.size(F.split("line", r"\s+")) < 2) | ~label_ok)
     )
     n_bad = bad.count()
     if n_bad:

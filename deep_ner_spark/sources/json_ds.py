@@ -51,7 +51,22 @@ def load_json_dataset(
 
     sample_id enumerates units in file order (document order, then
     paragraph order), matching the reference's X list indices.
+
+    Validation (SURVEY SO4, utils.py:550-566): the reference loader raises
+    on documents carrying keys outside the known set, so a schema-first
+    read that silently drops extras would load malformed datasets the
+    reference rejects.  A schema-INFERRED pre-pass over the same file
+    (fixture-scale source; one extra tiny scan) surfaces unknown top-level
+    keys and fails the load like the reference's negative tests.
     """
+    allowed = {f.name for f in JSON_SCHEMA.fields}
+    inferred = spark.read.option("multiLine", "true").json(path)
+    extra = sorted(set(inferred.schema.fieldNames()) - allowed - {"_corrupt_record"})
+    if extra:
+        raise ValueError(
+            f"unknown key(s) {extra} in JSON dataset {path!r}; "
+            f"allowed: {sorted(allowed)}"
+        )
     raw = (
         spark.read.schema(JSON_SCHEMA)
         .option("multiLine", "true")

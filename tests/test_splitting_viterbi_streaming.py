@@ -145,3 +145,66 @@ def test_streaming_sessionize(spark, tmp_path):
         assert got_counts[r["conv_id"]] == r["n"], r["conv_id"]
     # and per-session turn totals match the input row count
     assert got.agg(F.sum("n_turns")).collect()[0][0] == tdf.count()
+
+
+def test_split_keeps_last_subset_shuffle(data, spark):
+    """dataset_splitting.py:50-51 OVERWRITES best on every shuffle whose
+    test classes are a proper subset of train — the repo must mirror the
+    same selection against an equivalent driver-side loop."""
+    from deep_ner_spark.operators.splitting import split_assignment
+
+    units, spans = data
+    ids = sorted(r["sample_id"] for r in units.select("sample_id").collect())
+    class_rows = (
+        spans.groupBy("sample_id").agg(F.collect_set("ne_type").alias("c")).collect()
+    )
+    class_sets = {r["sample_id"]: frozenset(r["c"]) for r in class_rows}
+
+    def reference_loop(test_part, seed, n_restarts):
+        n = len(ids)
+        n_test = int(round(test_part * n))
+        n_train = n - n_test
+        rng = np.random.default_rng(seed)
+        idx = np.arange(n)
+        best = None
+        for _ in range(n_restarts):
+            rng.shuffle(idx)
+            tr = frozenset().union(*(class_sets.get(ids[i], frozenset()) for i in idx[:n_train]))
+            te = frozenset().union(*(class_sets.get(ids[i], frozenset()) for i in idx[n_train:]))
+            if tr == te:
+                best = idx.copy()
+                break
+            if te < tr:
+                best = idx.copy()  # keep LAST subset-qualifying shuffle
+        if best is None:
+            best = idx
+        return {ids[i] for i in best[n_train:]}
+
+    for seed in (3, 7, 11, 23):
+        want = reference_loop(0.3, seed, 10)
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            got_df = split_assignment(units, spans, 0.3, seed=seed)
+        got = {r["sample_id"] for r in got_df.where("is_test").collect()}
+        assert got == want, f"seed {seed}: selection semantics diverge"
+
+
+def test_split_assignment_hashed_invariants(data, spark):
+    from deep_ner_spark.operators.splitting import split_assignment_hashed
+
+    units, spans = data
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        assign = split_assignment_hashed(units, spans, 0.3, seed=5, n_restarts=8)
+    rows = assign.collect()
+    assert len(rows) == units.count()
+    # deterministic across recomputation
+    again = {(r["sample_id"], r["is_test"]) for r in assign.collect()}
+    assert {(r["sample_id"], r["is_test"]) for r in rows} == again
+    # both sides non-empty at this size
+    sides = {r["is_test"] for r in rows}
+    assert sides == {True, False}
