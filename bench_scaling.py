@@ -47,13 +47,19 @@ st = spark.read.parquet(base + "/entity_state.parquet")
 def job():
     out, _ = featurize_transcripts(tr, st, max_seq_length=32, emb_dim=16,
                                    state_seq_col="state_seq")
+    # consume every stage (windows + as-of + featurize): a narrower agg
+    # lets Catalyst prune unconsumed stages and the job under-measures
     row = out.select(
         F.count("*").alias("n"),
         F.sum(F.length("features")).alias("fb"),
-        # crc over BOTH text and attached state: the state term catches
-        # nondeterministic as-of tie resolution across parallelism levels
+        # crc over text AND attached state/session/ffill/lag outputs: the
+        # extra terms catch nondeterministic as-of tie resolution across
+        # parallelism levels and keep every stage live in the plan
         (F.sum(F.crc32("norm_text"))
-         + F.sum(F.crc32(F.col("state").cast("string")))).alias("chk"),
+         + F.sum(F.crc32(F.col("state").cast("string")))
+         + F.sum("session_id")
+         + F.sum(F.crc32("role_ffill"))
+         + F.sum("n_tokens_lag1") + F.sum("n_tokens_lead1")).alias("chk"),
     ).collect()[0]
     return row["n"], row["chk"]
 

@@ -131,3 +131,43 @@ def test_whole_stage_codegen_covers_window_ops(tables, spark):
     out.collect()  # AQE finalizes the plan (codegen markers) on execution
     plan = plan_of(out)
     assert "codegen id" in plan or "WholeStageCodegen" in plan
+
+
+def test_bench_flagship_agg_keeps_all_stages_live(tables, spark):
+    """An aggregation that skips a stage's output lets Catalyst prune that
+    stage from the plan entirely (observed: round-1's bench agg contained
+    ZERO Window nodes — the as-of + sessionize + ffill + lag stages were
+    dead code and the 'flagship' timing measured only tokenize+featurize).
+    This pins the honest consumption shape bench.py uses: every window
+    output consumed => every Window/Sort present."""
+    from deep_ner_spark.pipeline import featurize_transcripts
+
+    tdf, stdf = tables
+    out, _ = featurize_transcripts(
+        tdf,
+        stdf.withColumnRenamed("conv_id", "entity_id"),
+        max_seq_length=8,
+        emb_dim=4,
+        state_seq_col="state_seq",
+    )
+    agg = out.select(
+        F.count("*"),
+        F.sum(F.length("features")),
+        F.sum(F.crc32("norm_text")),
+        F.sum("n_tokens"),
+        F.sum(F.crc32(F.col("state").cast("string"))),
+        F.sum("session_id"),
+        F.sum(F.crc32("role_ffill")),
+        F.sum(F.crc32("tool_ffill")),
+        F.sum("n_tokens_lag1"),
+        F.sum("n_tokens_lead1"),
+    )
+    plan = plan_of(agg)
+    tree = plan.split("== Initial Plan ==")[0]
+    n_windows = len(re.findall(r"Window", tree))
+    assert n_windows >= 4, f"window stages pruned from bench plan:\n{tree}"
+    assert "ArrowEvalPython" in plan  # featurize UDF live
+    # and the pruning hazard is real: dropping the window terms removes them
+    lean = out.select(F.count("*"), F.sum(F.length("features")))
+    lean_tree = plan_of(lean).split("== Initial Plan ==")[0]
+    assert "Window" not in lean_tree

@@ -76,3 +76,29 @@ def test_wordpiece_tokenize():
     assert textfns.wordpiece_tokenize("unaffable", vocab) == ["un", "##aff", "##able"]
     assert textfns.wordpiece_tokenize("hello", vocab) == ["hello"]
     assert textfns.wordpiece_tokenize("xyz", vocab) == ["[UNK]"]
+
+
+def test_wordpiece_published_edge_cases():
+    """Pin the published WordpieceTokenizer behaviors (the BERT repo's
+    tokenization.py, loaded by the reference at bert_ner.py:731-771):
+    max_chars_per_word overflow -> [UNK]; greedy longest-match has NO
+    backtracking, so a mid-word miss collapses the WHOLE word to [UNK]
+    even when a shorter first piece would have succeeded; empty input
+    yields no pieces."""
+    from deep_ner_spark import textfns
+
+    vocab = frozenset(["ab", "a", "##bc", "##b", "x"])
+    # greedy takes 'ab', then '##c' misses -> whole word [UNK], despite
+    # 'a' + '##bc' being a valid segmentation
+    assert textfns.wordpiece_tokenize("abc", vocab) == ["[UNK]"]
+    # shorter word segments fine via the continuation piece
+    assert textfns.wordpiece_tokenize("abb", vocab) == ["ab", "##b"]
+    # max_chars boundary: exactly at the limit still tokenizes; above -> [UNK]
+    assert textfns.wordpiece_tokenize("x" * 5, frozenset(["x", "##x"]), max_chars=5) == [
+        "x", "##x", "##x", "##x", "##x",
+    ]
+    assert textfns.wordpiece_tokenize("x" * 6, frozenset(["x", "##x"]), max_chars=5) == ["[UNK]"]
+    # empty token -> no pieces
+    assert textfns.wordpiece_tokenize("", vocab) == []
+    # continuation prefix is never matched at word start
+    assert textfns.wordpiece_tokenize("bc", frozenset(["##bc"])) == ["[UNK]"]
