@@ -1208,6 +1208,32 @@ def q_lsh_cosine_topk(spark, sf_dir):
     return out.select("query_id", F.col("rank").cast("long").alias("rnk"), "neighbor_id")
 
 
+@_q(
+    "lsh_cosine_topk_exhaustive",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    d AS (SELECT vec_id AS neighbor_id, embedding AS dv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, dv) AS cos
+          FROM q, d WHERE query_id <> neighbor_id),
+    r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM s)
+    SELECT query_id, rnk, neighbor_id FROM r WHERE rnk <= 3
+    """,
+)
+def q_lsh_cosine_topk_exhaustive(spark, sf_dir):
+    """LSH ANN with zero hyperplanes (single bucket == exhaustive probe)
+    must equal the exact brute-force top-k — hard-verifies the bucket-join
+    + scoring + ranking pipeline; the n_planes>0 entry then only changes
+    candidate generation."""
+    from deep_ner_spark.operators.similarity import lsh_cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = lsh_cosine_topk(emb, queries, 64, "vec_id", "embedding", k=3, n_planes=0)
+    return out.select("query_id", F.col("rank").cast("long").alias("rnk"), "neighbor_id")
+
+
 @_q("multimodal_image_features")
 def q_multimodal_image_features(spark, sf_dir):
     """Binary media column -> grid-pooled features (codec stubbed with a

@@ -1,0 +1,110 @@
+"""Iceberg-or-Parquet table IO seam (SURVEY §7; north_rule input is an
+Iceberg table of transcripts).
+
+The engine's scale layout is an Iceberg table partitioned by ``days(ts)``
+and bucketed by ``conv_id`` (bucket count ~2x executor cores), so the as-of
+exchange co-locates with the storage layout and time-range queries prune
+partitions at the snapshot level.  The sandbox has no Iceberg jar, so every
+call degrades to a Parquet directory with the same logical layout; the
+format decision is one seam (``_iceberg_available``) and the rest of the
+engine is storage-agnostic (it only sees DataFrames).
+
+``snapshot_id`` feeds the lineage records of ``plans/checkpoint.py`` —
+Iceberg's catalog snapshot when available, else a deterministic fingerprint
+of the file listing (path, size, mtime), which changes iff the data does.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _is_catalog_table(location: str) -> bool:
+    """Catalog table names have no path separators ('db.tbl'); paths do."""
+    return "/" not in location and "\\" not in location
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_table(spark: SparkSession, location: str, fmt: str = "auto") -> DataFrame:
+    """Read a transcript-shaped table from Iceberg when available, else
+    Parquet.  ``location`` is a catalog table name or a directory path."""
+    if fmt == "iceberg" or (fmt == "auto" and _is_catalog_table(location)):
+        if not _iceberg_available(spark):
+            if fmt == "iceberg":
+                raise RuntimeError(
+                    "Iceberg runtime jar not on the classpath; add "
+                    "org.apache.iceberg:iceberg-spark-runtime or use fmt='parquet'"
+                )
+            raise ValueError(
+                f"{location!r} looks like a catalog table but no Iceberg "
+                "runtime is available in this sandbox"
+            )
+        return spark.read.format("iceberg").load(location)
+    return spark.read.parquet(location)
+
+
+def write_table(
+    df: DataFrame,
+    location: str,
+    fmt: str = "auto",
+    mode: str = "append",
+    partition_by: Sequence[str] = (),
+) -> None:
+    """Write with the engine's scale layout.
+
+    Iceberg appends are snapshot-atomic; the Parquet fallback keeps the
+    identical directory layout (partition columns -> directories), so a
+    later Iceberg migration is a metadata import, not a rewrite.
+    """
+    use_iceberg = fmt == "iceberg" or (
+        fmt == "auto" and _is_catalog_table(location) and _iceberg_available(df.sparkSession)
+    )
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if use_iceberg:
+        w.format("iceberg").saveAsTable(location)
+    else:
+        w.parquet(location)
+
+
+def snapshot_id(spark: SparkSession, location: str) -> str:
+    """Stable input-snapshot identifier for lineage records.
+
+    Iceberg: the current snapshot id from the catalog metadata table.
+    Parquet fallback: md5 over the sorted (relpath, size, mtime_ns) listing
+    — deterministic, and changes exactly when the input data changes.
+    """
+    if _is_catalog_table(location) and _iceberg_available(spark):
+        row = (
+            spark.read.format("iceberg")
+            .load(f"{location}.snapshots")
+            .orderBy("committed_at", ascending=False)
+            .select("snapshot_id")
+            .first()
+        )
+        return str(row["snapshot_id"]) if row else ""
+    h = hashlib.md5()
+    for root, _dirs, files in sorted(os.walk(location)):
+        for name in sorted(files):
+            if name.startswith("_") or name.startswith("."):
+                continue  # commit markers / CRCs are not data
+            p = os.path.join(root, name)
+            st = os.stat(p)
+            h.update(
+                f"{os.path.relpath(p, location)}:{st.st_size}:{st.st_mtime_ns}".encode()
+            )
+    return h.hexdigest()

@@ -59,3 +59,36 @@ def test_resumable_backfill_skips_completed(tdf, spark):
             spark, units[:1], run_unit, f"{d}/out", ckpt, "run2", ["text"], "ts"
         )
         assert done3 == units[:1]
+
+
+def test_table_io_parquet_fallback_roundtrip(spark, tmp_path):
+    """Iceberg-or-Parquet seam: path locations round-trip through the
+    Parquet fallback with partition layout intact; catalog-style names
+    fail loudly when no Iceberg runtime is present; snapshot_id is
+    deterministic and tracks data changes."""
+    import pytest
+
+    from deep_ner_spark.sources import table_io
+
+    df = spark.createDataFrame(
+        [("c1", 0, "hello", "2024-01-01"), ("c1", 1, "world", "2024-01-02")],
+        ["conv_id", "turn_idx", "text", "day"],
+    )
+    loc = str(tmp_path / "tbl")
+    table_io.write_table(df, loc, mode="overwrite", partition_by=["day"])
+    back = table_io.read_table(spark, loc)
+    assert back.count() == 2 and set(back.columns) == set(df.columns)
+    # partition layout on disk (metadata-compatible with an Iceberg import)
+    assert any(p.name.startswith("day=") for p in (tmp_path / "tbl").iterdir())
+
+    s1 = table_io.snapshot_id(spark, loc)
+    s2 = table_io.snapshot_id(spark, loc)
+    assert s1 == s2 and len(s1) == 32
+    table_io.write_table(df, loc, mode="append", partition_by=["day"])
+    assert table_io.snapshot_id(spark, loc) != s1
+
+    if not table_io._iceberg_available(spark):
+        with pytest.raises(ValueError, match="Iceberg"):
+            table_io.read_table(spark, "db.transcripts")
+        with pytest.raises(RuntimeError, match="Iceberg"):
+            table_io.read_table(spark, str(tmp_path / "tbl"), fmt="iceberg")
