@@ -71,11 +71,15 @@ def run(spark) -> dict:
     # warm the Python-worker/Arrow path so the flagship timing measures the
     # engine, not worker spawn + module imports
     # sample() keeps the input partitioning so every worker slot spawns
+    # warm at the MEASURED shapes (max_seq/emb): the window codegen, Arrow
+    # buffers and worker numpy arenas are size-dependent, and a tiny-shape
+    # warmup leaves the first full-size run ~2x steady state
     warm, _ = featurize_transcripts(
-        transcripts.sample(0.02, seed=1), state.sample(0.05, seed=1),
-        max_seq_length=8, emb_dim=4, state_seq_col="state_seq",
+        transcripts.sample(0.05, seed=1), state.sample(0.05, seed=1),
+        max_seq_length=32, emb_dim=16, state_seq_col="state_seq",
     )
-    warm.select(F.sum(F.length("features"))).collect()
+    warm.select(F.sum(F.length("features")), F.sum("session_id"),
+                F.sum(F.crc32(F.col("state").cast("string")))).collect()
 
     # flagship: full point-in-time featurization, counted via a cheap agg so
     # the measurement is compute + shuffle, not driver collect
@@ -106,8 +110,9 @@ def run(spark) -> dict:
             F.sum("n_tokens_lead1").alias("lead_chk"),
         ).collect()[0]["n"]
 
-    # best-of-2: the sandbox host shows ~±20% noise windows
-    n_turns = timed("flagship_featurize", flagship, reps=2)
+    # best-of-3: the sandbox host shows ~±20% noise windows, and the first
+    # full-size run still pays residual JIT even after the shaped warmup
+    n_turns = timed("flagship_featurize", flagship, reps=3)
 
     # as-of join alone (the north operator) on the same tables
     def asof_only():

@@ -213,15 +213,25 @@ def make_feature_matrix_udf(
 
 
 def make_fused_featurize_udf(
-    vocab: Tuple[str, ...], max_seq_length: int, emb_dim: int = 16
+    vocab: Tuple[str, ...],
+    max_seq_length: int,
+    emb_dim: int = 16,
+    emit_linguistics: bool = False,
 ):
-    """One Arrow round-trip: normalized text -> tokens + bounds + shapes +
-    pos/dep + binary feature matrix.
+    """One Arrow round-trip: normalized text -> tokens + bounds + binary
+    feature matrix (+ shapes/pos/dep arrays when ``emit_linguistics``).
 
     The split tokenize-then-featurize form ships the token arrays from
     Python to the JVM and back into a second Python eval; fusing the two
     stages halves the Arrow traffic on the dominant stage (the arrays are
     produced and consumed inside one worker call).
+
+    ``emit_linguistics=False`` (default): shapes/pos/dep are still computed
+    (the matrix needs them) but NOT returned — the flagship pipeline's
+    final select discards those three string-array columns, so emitting
+    them only inflated the Arrow transfer with dead data; the split
+    tokenize path (operators/tokens.py) remains the source for consumers
+    that want the arrays themselves.
     """
     import pandas as pd
 
@@ -233,17 +243,20 @@ def make_fused_featurize_udf(
     bos_col = emb_dim + S + 1
     eos_col = emb_dim + S + 2
 
-    schema = T.StructType(
-        [
-            T.StructField("tokens", T.ArrayType(T.StringType())),
-            T.StructField("starts", T.ArrayType(T.IntegerType())),
-            T.StructField("ends", T.ArrayType(T.IntegerType())),
+    fields = [
+        T.StructField("tokens", T.ArrayType(T.StringType())),
+        T.StructField("starts", T.ArrayType(T.IntegerType())),
+        T.StructField("ends", T.ArrayType(T.IntegerType())),
+    ]
+    if emit_linguistics:
+        fields += [
             T.StructField("shapes", T.ArrayType(T.StringType())),
             T.StructField("pos", T.ArrayType(T.StringType())),
             T.StructField("dep", T.ArrayType(T.StringType())),
-            T.StructField("features", T.BinaryType()),
         ]
-    )
+    fields.append(T.StructField("features", T.BinaryType()))
+    schema = T.StructType(fields)
+    out_keys = tuple(f.name for f in fields)
 
     @pandas_udf(schema)
     def fused(texts: pd.Series) -> pd.DataFrame:
@@ -260,7 +273,7 @@ def make_fused_featurize_udf(
                 cache[key] = v
             return v
 
-        cols = {k: [] for k in ("tokens", "starts", "ends", "shapes", "pos", "dep", "features")}
+        cols = {k: [] for k in out_keys}
         for text in texts:
             if text is None:
                 text = ""
@@ -278,9 +291,10 @@ def make_fused_featurize_udf(
             cols["tokens"].append(toks)
             cols["starts"].append([s for _, s, _ in triples])
             cols["ends"].append([e for _, _, e in triples])
-            cols["shapes"].append(shapes)
-            cols["pos"].append([p for p, _ in tags])
-            cols["dep"].append([d for _, d in tags])
+            if emit_linguistics:
+                cols["shapes"].append(shapes)
+                cols["pos"].append([p for p, _ in tags])
+                cols["dep"].append([d for _, d in tags])
             cols["features"].append(m.tobytes())
         return pd.DataFrame(cols)
 
@@ -293,25 +307,31 @@ def featurize_fused(
     max_seq_length: int,
     emb_dim: int = 16,
     text_col: str = "text",
+    emit_linguistics: bool = False,
 ) -> DataFrame:
     """Fused normalize+tokenize+featurize over windowed slim turns."""
     from deep_ner_spark.functions.text import normalize_text_col
 
-    udf = make_fused_featurize_udf(vocab, max_seq_length, emb_dim)
+    udf = make_fused_featurize_udf(
+        vocab, max_seq_length, emb_dim, emit_linguistics=emit_linguistics
+    )
     out = slim_turns.withColumn(
         "norm_text", normalize_text_col(F.col(text_col))
     ).withColumn("__t", udf(F.col("norm_text")))
-    return (
-        out.select(
-            "*",
-            F.col("__t.tokens").alias("tokens"),
-            F.col("__t.starts").alias("starts"),
-            F.col("__t.ends").alias("ends"),
+    struct_cols = [
+        F.col("__t.tokens").alias("tokens"),
+        F.col("__t.starts").alias("starts"),
+        F.col("__t.ends").alias("ends"),
+    ]
+    if emit_linguistics:
+        struct_cols += [
             F.col("__t.shapes").alias("shapes"),
             F.col("__t.pos").alias("pos_tags"),
             F.col("__t.dep").alias("dep_tags"),
-            F.col("__t.features").alias("features"),
-        )
+        ]
+    struct_cols.append(F.col("__t.features").alias("features"))
+    return (
+        out.select("*", *struct_cols)
         .drop("__t")
         .withColumn("n_tokens", F.least(F.size("tokens"), F.lit(max_seq_length)))
         .withColumn("feature_width", F.lit(feature_width(vocab, emb_dim)))

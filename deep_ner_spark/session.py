@@ -60,6 +60,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE sizes coalesced partitions by the exchange's SLIM compressed
+        # bytes, but the featurize pandas UDF downstream amplifies bytes
+        # ~20x (feature blobs) — the default 1m floor merged the flagship's
+        # exchange to ~6 partitions and serialized the expensive stage
+        # (measured 4x wall-clock).  64k of slim bytes ≈ a safe ~1.3MB of
+        # post-UDF output per task; at corpus scale partitions are far
+        # above either floor, so this only stops harmful merging.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
