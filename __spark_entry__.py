@@ -1345,12 +1345,14 @@ def q_flagship_featurize(spark, sf_dir):
 )
 def q_ivf_cosine_topk(spark, sf_dir):
     """IVF coarse-quantized ANN with exhaustive probing (n_probe == n_lists)
-    must equal the exact brute-force top-k — same oracle as cosine_topk."""
+    must equal the exact brute-force top-k REGARDLESS of the codebook —
+    same oracle as cosine_topk; kmeans_iters=2 also exercises the
+    sample-trained spherical k-means fit (FAISS-style train/add split)."""
     from deep_ner_spark.operators.similarity import ivf_cosine_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    out = ivf_cosine_topk(emb, queries, k=3, n_lists=8, n_probe=8)
+    out = ivf_cosine_topk(emb, queries, k=3, n_lists=8, n_probe=8, kmeans_iters=2)
     return out.select("query_id", F.col("rank").cast("long").alias("rnk"), "neighbor_id")
 
 

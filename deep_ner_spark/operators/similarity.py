@@ -86,6 +86,69 @@ def lsh_bucket_col(vec: Column, planes) -> Column:
     return bucket
 
 
+def fit_ivf_codebook(
+    data: DataFrame,
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    kmeans_iters: int = 0,
+    sample_rows: int = 100_000,
+    seed: int = 42,
+) -> list:
+    """Spherical k-means codebook for IVF, trained on a bounded sample.
+
+    At corpus scale an IVF codebook is fit on a SAMPLE (the FAISS-style
+    train/add split), so each Lloyd iteration touches ``sample_rows``-ish
+    vectors, never the corpus: assignment = argmax cosine against broadcast
+    centroid literals (JVM expression, narrow); recenter = per-(list, dim)
+    mean via one small aggregation whose output is n_lists x dim rows —
+    driver traffic is the codebook itself, nothing corpus-sized.
+
+    ``kmeans_iters=0`` returns the deterministic seed codebook (lowest-id
+    rows of the sample).  Empty lists keep their previous centroid.
+    Returns a plain list of ``n_lists`` float lists.
+    """
+    n_data = data.count()
+    frac = min(1.0, sample_rows / max(n_data, 1))
+    sample = data.select(vec_col) if frac >= 1.0 else data.select(vec_col).sample(
+        frac, seed=seed
+    )
+    sample = sample.localCheckpoint(eager=False)  # reused every iteration
+    cents = [list(r[0]) for r in sample.limit(n_lists).collect()]
+    if len(cents) < n_lists:
+        raise ValueError(f"not enough vectors ({len(cents)}) for {n_lists} lists")
+    dim = len(cents[0])
+    for _ in range(kmeans_iters):
+        assign = F.array(
+            *[
+                F.struct(
+                    cosine_col(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])).alias("s"),
+                    F.lit(i).alias("list_id"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+        best = F.transform(
+            F.slice(F.reverse(F.array_sort(assign)), 1, 1), lambda s: s["list_id"]
+        ).getItem(0)
+        # two selects: a generator (posexplode) in the same projection as
+        # the struct-lambda makes the analyzer lose the struct field names
+        means = (
+            sample.select(best.alias("__list"), F.col(vec_col))
+            .select("__list", F.posexplode(vec_col).alias("__d", "__v"))
+            .groupBy("__list", "__d")
+            .agg(F.avg("__v").alias("m"))
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]  # empty lists keep old centroid
+        by_list: dict = {}
+        for r in means:
+            by_list.setdefault(int(r["__list"]), [0.0] * dim)[int(r["__d"])] = float(r["m"])
+        for li, vec in by_list.items():
+            new_cents[li] = vec
+        cents = new_cents
+    return cents
+
+
 def ivf_cosine_topk(
     data: DataFrame,
     queries: DataFrame,
@@ -95,21 +158,31 @@ def ivf_cosine_topk(
     n_lists: int = 16,
     n_probe: int = 2,
     include_self: bool = False,
+    kmeans_iters: int = 0,
+    seed: int = 42,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse quantize to centroid lists,
     probe the query's ``n_probe`` nearest lists only.
 
-    Centroids are a deterministic coarse codebook: the ``n_lists``
-    lowest-id vectors (seed vectors; a k-means refinement slots in here
-    without changing the plumbing).  Assignment = argmax cosine to a
-    centroid — computed JVM-side against broadcast centroid literals, so
-    both the build and the probe are single narrow passes; the probe join
-    touches ~n_probe/n_lists of the corpus instead of all of it.
-    Same output schema as cosine_topk.
+    Centroids come from :func:`fit_ivf_codebook` — ``kmeans_iters=0`` keeps
+    the deterministic seed codebook (lowest-id vectors); >0 runs spherical
+    k-means on a bounded sample (the FAISS train/add split).  Assignment =
+    argmax cosine to a centroid — computed JVM-side against broadcast
+    centroid literals, so both the build and the probe are single narrow
+    passes; the probe join touches ~n_probe/n_lists of the corpus instead
+    of all of it.  With ``n_probe == n_lists`` the result equals the exact
+    top-k REGARDLESS of the codebook (every list probed) — the property the
+    driver oracle checks.  Same output schema as cosine_topk.
     """
+    # orderBy(id) keeps the seed codebook deterministic (lowest-id vectors)
     cents = [
-        (int(r[0]), list(r[1]))
-        for r in data.select(id_col, vec_col).orderBy(id_col).limit(n_lists).collect()
+        (i, c)
+        for i, c in enumerate(
+            fit_ivf_codebook(
+                data.orderBy(id_col).select(vec_col), vec_col, n_lists,
+                kmeans_iters, seed=seed,
+            )
+        )
     ]
 
     def best_lists(vec: Column, n: int) -> Column:

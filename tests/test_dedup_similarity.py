@@ -152,3 +152,42 @@ def test_ivf_cosine_topk(spark):
     full = {(r["query_id"], r["rank"]): r["neighbor_id"]
             for r in ivf_cosine_topk(emb, q, k=3, n_lists=8, n_probe=8).collect()}
     assert full == exact
+
+
+def test_ivf_kmeans_codebook(spark):
+    """Spherical k-means refinement (FAISS-style sample-train): codebook is
+    deterministic for a seed, exhaustive probing stays exact regardless of
+    the codebook, and on a clustered dataset the refined codebook reaches
+    exact top-1 recall with a 2-list probe."""
+    from deep_ner_spark.operators.similarity import (
+        cosine_topk,
+        fit_ivf_codebook,
+        ivf_cosine_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    # 4 well-separated clusters of 25 vectors each
+    centers = rng.standard_normal((4, 16)).astype("float32") * 10
+    base = np.vstack([c + rng.standard_normal((25, 16)).astype("float32") for c in centers])
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(100), "embedding": [list(map(float, v)) for v in base]})
+    )
+    cb1 = fit_ivf_codebook(emb.orderBy("vec_id").select("embedding"), n_lists=4, kmeans_iters=3)
+    cb2 = fit_ivf_codebook(emb.orderBy("vec_id").select("embedding"), n_lists=4, kmeans_iters=3)
+    assert cb1 == cb2  # deterministic
+    assert len(cb1) == 4 and len(cb1[0]) == 16
+
+    q = emb.where(F.col("vec_id") < 4)
+    exact = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in cosine_topk(emb, q, k=1).collect()}
+    refined = {(r["query_id"], r["rank"]): r["neighbor_id"]
+               for r in ivf_cosine_topk(emb, q, k=1, n_lists=4, n_probe=2,
+                                        kmeans_iters=3).collect()}
+    assert refined == exact  # clustered data + refined codebook -> full recall
+    # exhaustive probe equals exact top-k regardless of kmeans_iters
+    full = {(r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in ivf_cosine_topk(emb, q, k=3, n_lists=4, n_probe=4,
+                                     kmeans_iters=2).collect()}
+    exact3 = {(r["query_id"], r["rank"]): r["neighbor_id"]
+              for r in cosine_topk(emb, q, k=3).collect()}
+    assert full == exact3
