@@ -208,3 +208,103 @@ def test_split_assignment_hashed_invariants(data, spark):
     # both sides non-empty at this size
     sides = {r["is_test"] for r in rows}
     assert sides == {True, False}
+
+
+def test_streaming_asof_agrees_with_batch(spark, tmp_path):
+    """Streaming as-of (applyInPandasWithState) must agree row-for-row with
+    the batch union-tag window on every emitted turn, including equal-ts
+    state-attaches and state_seq tie-breaks; a second availableNow run
+    resumes from the checkpoint and flushes the remainder."""
+    import numpy as np
+    import pandas as pd
+
+    from deep_ner_spark.operators.asof import asof_join
+    from deep_ner_spark.streaming.asof import streaming_asof_attach
+
+    rng = np.random.default_rng(5)
+    rows = []
+    base = 1_700_000_000
+    for conv in range(6):
+        t = base + conv * 7
+        for i in range(40):
+            t += int(rng.integers(1, 300))
+            if rng.random() < 0.35:
+                rows.append((f"c{conv}", 1, t, 1000 + i, float(i)))
+            else:
+                rows.append((f"c{conv}", 0, t, i, 0.0))
+        # adversarial ties: two states at one ts (higher seq must win), and
+        # a turn exactly at a state's ts (state attaches, <= semantics)
+        rows.append((f"c{conv}", 1, t + 50, 5000, 111.0))
+        rows.append((f"c{conv}", 1, t + 50, 5001, 222.0))
+        rows.append((f"c{conv}", 0, t + 50, 900, 0.0))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "is_state", "ts_s", "seq", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts_s"], unit="s")
+    pdf = pdf.sort_values(["ts_s", "is_state"]).reset_index(drop=True)
+
+    in_dir = str(tmp_path / "in")
+    for chunk in np.array_split(pdf, 3):
+        spark.createDataFrame(
+            chunk[["conv_id", "is_state", "ts", "seq", "value"]]
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    schema = spark.read.parquet(in_dir).schema
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        out = streaming_asof_attach(stream, watermark="1 second")
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    got1 = spark.read.parquet(str(tmp_path / "out"))
+    n1 = got1.count()
+    assert n1 > 0, "no turns emitted after three watermark-advancing batches"
+
+    # batch reference over the same tagged rows
+    tagged = spark.createDataFrame(pdf[["conv_id", "is_state", "ts", "seq", "value"]])
+    turns = tagged.where("is_state = 0").selectExpr(
+        "conv_id", "ts", "seq AS turn_seq"
+    )
+    st = tagged.where("is_state = 1").selectExpr(
+        "conv_id", "ts", "seq AS state_seq", "value AS state_value"
+    )
+    ref = asof_join(
+        turns, st, ["conv_id"], "ts", ["state_value"],
+        seq_col="turn_seq", state_seq_col="state_seq",
+    ).selectExpr(
+        "conv_id", "turn_seq", "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us",
+        "state_value",
+    )
+    ref_rows = {(r["conv_id"], r["turn_seq"], r["ts_us"]): r["state_value"]
+                for r in ref.collect()}
+    for r in got1.collect():
+        k = (r["conv_id"], r["turn_seq"], r["ts_us"])
+        assert k in ref_rows and ref_rows[k] == r["state_value"], f"mismatch {k}"
+
+    # late flush file advances the watermark past everything -> resume run
+    # emits ALL remaining real turns from the checkpoint
+    flush = pd.DataFrame(
+        [("flush", 0, pdf["ts_s"].max() + 10_000, 0, 0.0)],
+        columns=["conv_id", "is_state", "ts_s", "seq", "value"],
+    )
+    flush["ts"] = pd.to_datetime(flush["ts_s"], unit="s")
+    spark.createDataFrame(
+        flush[["conv_id", "is_state", "ts", "seq", "value"]]
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+    got2 = spark.read.parquet(str(tmp_path / "out")).where("conv_id <> 'flush'")
+    assert got2.count() == len(ref_rows), "resume run did not flush all turns"
+    for r in got2.collect():
+        k = (r["conv_id"], r["turn_seq"], r["ts_us"])
+        assert k in ref_rows and ref_rows[k] == r["state_value"], f"mismatch {k}"
