@@ -191,3 +191,34 @@ def test_ivf_kmeans_codebook(spark):
     exact3 = {(r["query_id"], r["rank"]): r["neighbor_id"]
               for r in cosine_topk(emb, q, k=3).collect()}
     assert full == exact3
+
+
+def test_jaccard_prefix_exact_at_all_thresholds(spark):
+    """The PPJoin prefix + length + positional candidate filters must be
+    EXACT (no lost pairs) at any threshold — prefix and naive strategies
+    agree pair-for-pair on adversarial corpora with heavy shingle overlap,
+    near-duplicates and containment pairs."""
+    from deep_ner_spark.operators.dedup import jaccard_pairs
+
+    rng = np.random.default_rng(17)
+    words = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        n = int(rng.integers(4, 20))
+        docs.append(" ".join(rng.choice(words, n)))
+    # near-dups and a containment pair
+    docs.append(docs[0] + " extra")
+    docs.append(docs[1])
+    docs.append(" ".join(docs[2].split()[:-2]))
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(len(docs)), "text": docs}))
+
+    for t in (0.3, 0.5, 0.7, 0.9):
+        def pairs(strategy):
+            rows = jaccard_pairs(
+                df, "doc_id", "text", n=2, threshold=t, strategy=strategy
+            ).collect()
+            return {(r["id_a"], r["id_b"]): (r["inter"], round(r["jaccard"], 9))
+                    for r in rows}
+
+        p, nv = pairs("prefix"), pairs("naive")
+        assert p == nv, f"threshold {t}: prefix {len(p)} pairs != naive {len(nv)}"
