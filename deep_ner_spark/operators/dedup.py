@@ -20,6 +20,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _local_ckpt(frame: DataFrame) -> DataFrame:
+    """localCheckpoint if the session supports it, else the frame as-is
+    (self-join sides then recompute — slower, never wrong)."""
+    try:
+        return frame.localCheckpoint(eager=False)
+    except Exception:
+        return frame
+
+
 def tokens_col(text: Column) -> Column:
     """Whitespace tokenization for shingling (dedup does not need offsets)."""
     return F.filter(F.split(text, r"\s+"), lambda t: t != "")
@@ -84,9 +93,12 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
       many-split corpus-scale input skips the branch.
     """
     docs = df.select(F.col(id_col), F.col(text_col).alias("__text"))
-    sc = df.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism)
+    try:  # .rdd/sparkContext are classic-session-only; skip under Connect
+        sc = df.sparkSession.sparkContext
+        if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+            docs = docs.repartition(sc.defaultParallelism)
+    except Exception:
+        pass
     base = docs.select(
         F.col(id_col), shingles_col(F.col("__text"), n).alias("__sh")
     ).select(id_col, "__sh", F.size("__sh").alias("size"))
@@ -138,7 +150,7 @@ def jaccard_pairs(
         strategy = "prefix"
 
     def _mat(frame: DataFrame) -> DataFrame:
-        return frame.localCheckpoint(eager=False) if materialize else frame
+        return _local_ckpt(frame) if materialize else frame
 
     # doc_shingles carries the per-doc size narrowly (no groupBy pass) and
     # evaluates the shingle HOF exactly once per row
@@ -287,7 +299,7 @@ def lsh_candidate_pairs(
         )
     )
     if materialize:
-        banded = banded.localCheckpoint(eager=False)
+        banded = _local_ckpt(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -350,7 +362,7 @@ def hamming_near_pairs(
     (localCheckpoint; GC-freed, see jaccard_pairs).
     """
     if materialize:
-        simhashes = simhashes.localCheckpoint(eager=False)
+        simhashes = _local_ckpt(simhashes)
     width = 64 // n_blocks
     blocks = simhashes.select(
         id_col,

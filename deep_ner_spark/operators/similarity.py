@@ -112,7 +112,10 @@ def fit_ivf_codebook(
     sample = data.select(vec_col) if frac >= 1.0 else data.select(vec_col).sample(
         frac, seed=seed
     )
-    sample = sample.localCheckpoint(eager=False)  # reused every iteration
+    try:
+        sample = sample.localCheckpoint(eager=False)  # reused every iteration
+    except Exception:
+        pass
     cents = [list(r[0]) for r in sample.limit(n_lists).collect()]
     if len(cents) < n_lists:
         raise ValueError(f"not enough vectors ({len(cents)}) for {n_lists} lists")
@@ -253,7 +256,10 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), b.alias("__bucket")
     )
     if materialize:
-        tagged = tagged.localCheckpoint(eager=False)
+        try:
+            tagged = tagged.localCheckpoint(eager=False)
+        except Exception:
+            pass  # session without localCheckpoint: recompute per side
     a = tagged.alias("a")
     c = tagged.alias("b")
     pairs = (
