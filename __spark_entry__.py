@@ -1413,6 +1413,110 @@ def q_rolling_fingerprint(spark, sf_dir):
     )
 
 
+@_q(
+    "streaming_asof",
+    """
+    WITH t AS (
+      SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id AS turn_seq,
+             epoch_us(ts) AS ts_us, ts
+      FROM events),
+    s AS (
+      SELECT CAST(user_id AS VARCHAR) AS conv_id, ts, event_id AS state_seq, value AS sv
+      FROM events WHERE event_type = 'purchase'),
+    u AS (
+      SELECT conv_id, turn_seq, ts,
+             CAST(NULL AS DOUBLE) AS sv, CAST(NULL AS BIGINT) AS state_seq, 0 AS is_state
+      FROM t
+      UNION ALL
+      SELECT conv_id, NULL, ts, sv, state_seq, 1 FROM s),
+    filled AS (
+      SELECT *, last_value(CASE WHEN is_state = 1 THEN sv END IGNORE NULLS) OVER (
+          PARTITION BY conv_id
+          ORDER BY ts, is_state DESC, state_seq ASC NULLS FIRST, turn_seq ASC NULLS FIRST
+          ROWS UNBOUNDED PRECEDING) AS state_value
+      FROM u)
+    SELECT conv_id, turn_seq, epoch_us(ts) AS ts_us, state_value
+    FROM filled WHERE is_state = 0
+    """,
+)
+def q_streaming_asof(spark, sf_dir):
+    """Structured-Streaming as-of attachment run END-TO-END inside the
+    entry (readStream over time-ordered file chunks -> stateful
+    applyInPandasWithState -> parquet sink, two availableNow passes with a
+    late flush sentinel so every real turn emits) and oracle-checked
+    against the batch union-window SQL.  Chunks are written in ts order, so
+    no row is ever behind the watermark and the streaming result equals the
+    batch as-of exactly (out-of-order/late behavior is covered by the unit
+    test's adversarial stream instead)."""
+    import uuid
+
+    from deep_ner_spark.streaming.asof import streaming_asof_attach
+
+    ev = _read(spark, sf_dir, "events")
+    tagged = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_state"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias("seq"),
+        F.col("value").alias("value"),
+    )
+    # turns = ALL events; purchases additionally appear as state rows
+    turns = tagged.withColumn("is_state", F.lit(0))
+    states = tagged.where(F.col("is_state") == 1)
+    both = turns.unionByName(states).orderBy("ts", "is_state", "seq")
+
+    base = f"/tmp/deep_ner_stream_q/{uuid.uuid4().hex}"
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    # three time-ordered chunks so the watermark advances between batches
+    # (sf0.01-scale fixture prep; toPandas is the chunk writer, not the op)
+    pdf = both.toPandas()
+    import numpy as np
+    import pandas as pd
+
+    for chunk in np.array_split(pdf, 3):
+        spark.createDataFrame(
+            chunk[["conv_id", "is_state", "ts", "seq", "value"]]
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        out = streaming_asof_attach(stream, watermark="1 second")
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    flush = pd.DataFrame(
+        {
+            "conv_id": ["__flush__"],
+            "is_state": [0],
+            "ts": [pdf["ts"].max() + pd.Timedelta(seconds=10_000)],
+            "seq": [0],
+            "value": [0.0],
+        }
+    )
+    spark.createDataFrame(flush[["conv_id", "is_state", "ts", "seq", "value"]]).select(
+        *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+    return (
+        spark.read.parquet(out_dir)
+        .where(F.col("conv_id") != "__flush__")
+        .select("conv_id", "turn_seq", "ts_us", "state_value")
+    )
+
+
 @_q("predict_entities")
 def q_predict_entities(spark, sf_dir):
     """SURVEY E1 read path composed end-to-end: featurize -> seeded linear
