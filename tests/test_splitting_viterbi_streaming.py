@@ -243,6 +243,10 @@ def test_streaming_asof_agrees_with_batch(spark, tmp_path):
 
     in_dir = str(tmp_path / "in")
     for chunk in np.array_split(pdf, 3):
+        # shuffle WITHIN the chunk: rows arrive out of order inside each
+        # micro-batch (chunk boundaries still respect the watermark), so the
+        # stateful buffering/merge logic is genuinely exercised
+        chunk = chunk.sample(frac=1.0, random_state=7)
         spark.createDataFrame(
             chunk[["conv_id", "is_state", "ts", "seq", "value"]]
         ).coalesce(1).write.mode("append").parquet(in_dir)

@@ -42,10 +42,14 @@ def main():
         b = int(unit)
         t = transcripts.where(F.pmod(F.xxhash64("conv_id"), args.buckets) == b)
         s = state.where(F.pmod(F.xxhash64("entity_id"), args.buckets) == b)
-        out, _ = featurize_transcripts(t, s, max_seq_length=32, emb_dim=16)
+        out, _ = featurize_transcripts(
+            t, s, max_seq_length=32, emb_dim=16, state_seq_col="state_seq"
+        )
         return out.withColumn("features_b64", F.base64("features")).drop(
             "features", "tokens", "starts", "ends"
         )
+
+    from deep_ner_spark.sources.table_io import snapshot_id
 
     ckpt = CheckpointTable(spark, f"{args.output}/_lineage")
     done = resumable_backfill(
@@ -57,6 +61,7 @@ def main():
         args.run_id,
         checksum_cols=["conv_id", "turn_idx", "norm_text"],
         ts_col="ts",
+        snapshot_id=snapshot_id(spark, args.input),
     )
     print(f"executed units: {done}")
     ckpt.read().where(F.col("run_id") == args.run_id).orderBy("unit").show(
