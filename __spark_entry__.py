@@ -1448,6 +1448,8 @@ def q_streaming_asof(spark, sf_dir):
     no row is ever behind the watermark and the streaming result equals the
     batch as-of exactly (out-of-order/late behavior is covered by the unit
     test's adversarial stream instead)."""
+    import os
+    import shutil
     import uuid
 
     from deep_ner_spark.streaming.asof import streaming_asof_attach
@@ -1473,48 +1475,74 @@ def q_streaming_asof(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    for chunk in np.array_split(pdf, 3):
+    stamped: set[str] = set()
+    stamp = [1_000_000_000]  # strictly increasing mtimes per chunk
+
+    def bump_mtimes():
+        # FileStreamSource orders files by (mtime, path); on coarse-mtime
+        # filesystems two consecutively written chunks can tie and sort by
+        # random part-file name, letting later-ts rows advance the watermark
+        # first — force the write order explicitly
+        for root, _dirs, files in os.walk(in_dir):
+            for name in sorted(files):
+                p = os.path.join(root, name)
+                if p not in stamped:
+                    os.utime(p, (stamp[0], stamp[0]))
+                    stamped.add(p)
+        stamp[0] += 10
+
+    try:
+        for chunk in np.array_split(pdf, 3):
+            spark.createDataFrame(
+                chunk[["conv_id", "is_state", "ts", "seq", "value"]]
+            ).coalesce(1).write.mode("append").parquet(in_dir)
+            bump_mtimes()
+        schema = spark.read.parquet(in_dir).schema
+
+        def run_once():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(in_dir)
+            )
+            out = streaming_asof_attach(stream, watermark="1 second")
+            q = (
+                out.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_once()
+        flush = pd.DataFrame(
+            {
+                "conv_id": ["__flush__"],
+                "is_state": [0],
+                "ts": [pdf["ts"].max() + pd.Timedelta(seconds=10_000)],
+                "seq": [0],
+                "value": [0.0],
+            }
+        )
         spark.createDataFrame(
-            chunk[["conv_id", "is_state", "ts", "seq", "value"]]
+            flush[["conv_id", "is_state", "ts", "seq", "value"]]
+        ).select(
+            *[F.col(f.name).cast(f.dataType) for f in schema.fields]
         ).coalesce(1).write.mode("append").parquet(in_dir)
-    schema = spark.read.parquet(in_dir).schema
-
-    def run_once():
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(in_dir)
+        bump_mtimes()
+        run_once()
+        # materialize before the finally-rmtree (the DataFrame is lazy; an
+        # eager localCheckpoint pins the rows in the block manager)
+        return (
+            spark.read.parquet(out_dir)
+            .where(F.col("conv_id") != "__flush__")
+            .select("conv_id", "turn_seq", "ts_us", "state_value")
+            .localCheckpoint(eager=True)
         )
-        out = streaming_asof_attach(stream, watermark="1 second")
-        q = (
-            out.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-
-    run_once()
-    flush = pd.DataFrame(
-        {
-            "conv_id": ["__flush__"],
-            "is_state": [0],
-            "ts": [pdf["ts"].max() + pd.Timedelta(seconds=10_000)],
-            "seq": [0],
-            "value": [0.0],
-        }
-    )
-    spark.createDataFrame(flush[["conv_id", "is_state", "ts", "seq", "value"]]).select(
-        *[F.col(f.name).cast(f.dataType) for f in schema.fields]
-    ).coalesce(1).write.mode("append").parquet(in_dir)
-    run_once()
-    return (
-        spark.read.parquet(out_dir)
-        .where(F.col("conv_id") != "__flush__")
-        .select("conv_id", "turn_seq", "ts_us", "state_value")
-    )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @_q("predict_entities")

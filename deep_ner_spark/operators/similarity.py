@@ -107,6 +107,14 @@ def fit_ivf_codebook(
     rows of the sample).  Empty lists keep their previous centroid.
     Returns a plain list of ``n_lists`` float lists.
     """
+    if kmeans_iters == 0:
+        # seed codebook only: a bounded limit() read, no corpus-sized
+        # count() pass (the count is only needed to size the training
+        # sample fraction for Lloyd iterations)
+        cents = [list(r[0]) for r in data.select(vec_col).limit(n_lists).collect()]
+        if len(cents) < n_lists:
+            raise ValueError(f"not enough vectors ({len(cents)}) for {n_lists} lists")
+        return cents
     n_data = data.count()
     frac = min(1.0, sample_rows / max(n_data, 1))
     sample = data.select(vec_col) if frac >= 1.0 else data.select(vec_col).sample(

@@ -11,7 +11,9 @@ engine is storage-agnostic (it only sees DataFrames).
 
 ``snapshot_id`` feeds the lineage records of ``plans/checkpoint.py`` —
 Iceberg's catalog snapshot when available, else a deterministic fingerprint
-of the file listing (path, size, mtime), which changes iff the data does.
+of the file listing (path, size, content tail = the parquet footer), so a
+byte-identical rewrite keeps its id and any data change almost surely
+changes it (the footer carries row counts and column stats).
 """
 
 from __future__ import annotations
@@ -48,6 +50,11 @@ def read_table(spark: SparkSession, location: str, fmt: str = "auto") -> DataFra
                     "Iceberg runtime jar not on the classpath; add "
                     "org.apache.iceberg:iceberg-spark-runtime or use fmt='parquet'"
                 )
+            # auto mode, no Iceberg runtime: a bare name like 'data' may be a
+            # relative Parquet directory (write_table would have written one)
+            # — read it back symmetrically instead of erroring
+            if os.path.exists(location):
+                return spark.read.parquet(location)
             raise ValueError(
                 f"{location!r} looks like a catalog table but no Iceberg "
                 "runtime is available in this sandbox"
@@ -85,8 +92,10 @@ def snapshot_id(spark: SparkSession, location: str) -> str:
     """Stable input-snapshot identifier for lineage records.
 
     Iceberg: the current snapshot id from the catalog metadata table.
-    Parquet fallback: md5 over the sorted (relpath, size, mtime_ns) listing
-    — deterministic, and changes exactly when the input data changes.
+    Parquet fallback: md5 over the sorted (relpath, size, tail-bytes md5)
+    listing.  The tail of a parquet file is its footer (row counts, column
+    stats), so a byte-identical rewrite or an mtime touch keeps the id,
+    while any data change almost surely changes it.
     """
     if _is_catalog_table(location) and _iceberg_available(spark):
         row = (
@@ -104,7 +113,11 @@ def snapshot_id(spark: SparkSession, location: str) -> str:
                 continue  # commit markers / CRCs are not data
             p = os.path.join(root, name)
             st = os.stat(p)
+            with open(p, "rb") as f:
+                if st.st_size > 65536:
+                    f.seek(-65536, os.SEEK_END)
+                tail = hashlib.md5(f.read(65536)).hexdigest()
             h.update(
-                f"{os.path.relpath(p, location)}:{st.st_size}:{st.st_mtime_ns}".encode()
+                f"{os.path.relpath(p, location)}:{st.st_size}:{tail}".encode()
             )
     return h.hexdigest()
