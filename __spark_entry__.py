@@ -1177,11 +1177,104 @@ def q_viterbi_decode(spark, sf_dir):
     )
 
 
-@_q("stratified_split")
+@_q(
+    "viterbi_decode_zero_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos
+      FROM events WHERE event_id < 2000)
+    SELECT user_id, CAST(pos AS INT) AS pos,
+           CAST(CASE WHEN value >= 100 - value AND value >= value / 2 THEN 0
+                     WHEN 100 - value >= value / 2 THEN 1
+                     ELSE 2 END AS INT) AS label_id
+    FROM seq
+    """,
+)
+def q_viterbi_decode_zero_transitions(spark, sf_dir):
+    """Hard signal for the Viterbi plumbing: with an all-zero transition
+    matrix the dynamic program reduces to per-position argmax (score_t[j] =
+    max_i score_{t-1}[i] + logits_t[j], so every backpointer and the final
+    argmax pick argmax(logits_t)), which IS SQL-expressible.  Runs the very
+    same ``decode_labels``/``viterbi_decode`` code path as the nonzero-
+    transition entry; numpy argmax first-wins tie rule mirrored by the CASE
+    order (s0 wins ties, then s1)."""
+    from deep_ner_spark.operators.viterbi import decode_labels
+
+    ev = _read(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    seqs = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"],
+        ).alias("values")
+    )
+    logits = seqs.select(
+        "user_id",
+        F.flatten(
+            F.transform(
+                "values",
+                lambda v: F.array(v, 100.0 - v, v / 2.0),
+            )
+        ).alias("logits"),
+    )
+    trans = [[0.0, 0.0, 0.0], [0.0, 0.0, 0.0], [0.0, 0.0, 0.0]]
+    out = decode_labels(logits, "logits", trans)
+    return out.select(
+        "user_id", F.posexplode("label_ids").alias("pos", "label_id")
+    )
+
+
+def _split_threshold_hex(test_part: float) -> str:
+    # duplicated tiny formula (operators/splitting.md5_threshold_hex) so the
+    # oracle string can be built before the package import is guaranteed;
+    # equality is pinned by tests/test_splitting_viterbi_streaming.py
+    return format(int(test_part * 16**12), "012x") + "0" * 20
+
+
+@_q(
+    "stratified_split",
+    f"""
+    WITH docs AS (SELECT doc_id AS sample_id FROM documents),
+    spans AS (
+      SELECT DISTINCT doc_id AS sample_id, token AS ne_type FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents)
+      WHERE token IN ('spark', 'merge', 'filter')),
+    restarts AS (SELECT unnest(generate_series(0, 9)) AS r),
+    assign AS (
+      SELECT restarts.r, d.sample_id,
+             md5(CAST(d.sample_id AS VARCHAR) || ':' || CAST(42 + restarts.r AS VARCHAR))
+               < '{_split_threshold_hex(0.25)}' AS is_test
+      FROM docs d CROSS JOIN restarts),
+    cls AS (
+      SELECT a.r, a.is_test, s.ne_type
+      FROM assign a JOIN spans s USING (sample_id) GROUP BY 1, 2, 3),
+    tr AS (SELECT r, list_sort(list(DISTINCT ne_type)) AS c FROM cls WHERE NOT is_test GROUP BY r),
+    te AS (SELECT r, list_sort(list(DISTINCT ne_type)) AS c FROM cls WHERE is_test GROUP BY r),
+    flags AS (
+      SELECT restarts.r,
+             coalesce(tr.c, []) = coalesce(te.c, []) AS eq,
+             len(list_filter(coalesce(te.c, []), x -> list_contains(coalesce(tr.c, []), x)))
+               = len(coalesce(te.c, []))
+               AND len(coalesce(te.c, [])) < len(coalesce(tr.c, [])) AS sub
+      FROM restarts LEFT JOIN tr ON restarts.r = tr.r LEFT JOIN te ON restarts.r = te.r),
+    chosen AS (
+      SELECT coalesce((SELECT min(r) FROM flags WHERE eq),
+                      (SELECT max(r) FROM flags WHERE sub),
+                      9) AS r)
+    SELECT a.sample_id, a.is_test
+    FROM assign a JOIN chosen ON a.r = chosen.r
+    """,
+)
 def q_stratified_split(spark, sf_dir):
-    """Stratified split sizes + per-side class sets (seeded rng on the
-    driver — rows-only check; invariants pinned by pytest)."""
-    from deep_ner_spark.operators.splitting import split_assignment
+    """Stratified split assignment via the distributed md5-hashed restart
+    search (SURVEY SO1; dataset_splitting.py:8-73 acceptance rule: first
+    restart with train/test class-set EQUALITY, else the last restart whose
+    test classes are a proper subset, else the last restart).  md5 makes the
+    chosen restart's full per-sample assignment reproducible by the DuckDB
+    twin, which re-runs the same acceptance search declaratively.  The
+    reference-exact driver-side permutation variant stays pytest-pinned."""
+    from deep_ner_spark.operators.splitting import split_assignment_hashed
 
     docs = _read(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("sample_id"), "text"
@@ -1192,20 +1285,110 @@ def q_stratified_split(spark, sf_dir):
     ).where(F.col("tok").isin("spark", "merge", "filter")).select(
         "sample_id", F.col("tok").alias("ne_type")
     )
-    assign = split_assignment(docs, spans, 0.25, seed=42)
-    return assign.groupBy("is_test").agg(F.count("*").alias("n")).orderBy("is_test")
+    assign = split_assignment_hashed(docs.select("sample_id"), spans, 0.25, seed=42)
+    return assign.select("sample_id", "is_test")
 
 
-@_q("lsh_cosine_topk")
+def _lsh_planes_sql():
+    """DuckDB twins of similarity._hyperplanes(64, 6, 42) + lsh_bucket_col +
+    cosine_col, bit-exact: the plane values are embedded as double literals
+    (Spark lifts each float32 plane entry to an exact double literal too);
+    Spark's zip_with float*double products and the float*float norm/dot
+    products (f32-rounded, double-accumulated) are mirrored by the CAST
+    placement, and DuckDB's list_reduce left fold equals Spark's aggregate
+    fold because 0.0 + x == x."""
+    import numpy as np
+
+    planes = np.random.default_rng(42).standard_normal((6, 64)).astype("float32")
+
+    def lit(p):
+        return "[" + ",".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+
+    parts = [
+        "CASE WHEN list_reduce(list_transform(list_zip(embedding, "
+        + lit(p)
+        + "), p -> CAST(p[1] AS DOUBLE) * p[2]), (x,y) -> x + y) > 0 THEN "
+        + str(1 << i)
+        + " ELSE 0 END"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+_COS_EXACT_SQL = (
+    "list_reduce(list_transform(list_zip(qv, dv), p -> CAST(p[1] * p[2] AS DOUBLE)), (x,y) -> x + y)"
+    " / (sqrt(list_reduce(list_transform(qv, x -> CAST(x * x AS DOUBLE)), (a,b) -> a + b))"
+    " * sqrt(list_reduce(list_transform(dv, x -> CAST(x * x AS DOUBLE)), (a,b) -> a + b)))"
+)
+
+_LSH_TOPK_SQL = f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_lsh_planes_sql()} AS bucket
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 5),
+    d AS (SELECT vec_id AS neighbor_id, embedding AS dv, bucket FROM b),
+    s AS (SELECT query_id, neighbor_id, {_COS_EXACT_SQL} AS cos
+          FROM q JOIN d USING (bucket) WHERE query_id <> neighbor_id),
+    r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM s)
+    SELECT query_id, rnk, neighbor_id FROM r WHERE rnk <= 3
+"""
+
+
+@_q("lsh_cosine_topk", _LSH_TOPK_SQL)
 def q_lsh_cosine_topk(spark, sf_dir):
-    """Approximate ANN (hyperplane-LSH bucketed) — rows-only; recall vs the
-    exact path is asserted in pytest."""
+    """Approximate ANN (hyperplane-LSH bucketed).  Now oracle-paired: the
+    DuckDB twin recomputes the buckets AND the candidate ranking bit-exactly
+    (plane literals embedded in the SQL; float-multiply / double-accumulate
+    semantics mirrored — verified 0 bucket and 0 cosine bit-mismatches on
+    the test corpus); recall vs the exact path also asserted in pytest."""
     from deep_ner_spark.operators.similarity import lsh_cosine_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     out = lsh_cosine_topk(emb, queries, 64, "vec_id", "embedding", k=3, n_planes=6)
     return out.select("query_id", F.col("rank").cast("long").alias("rnk"), "neighbor_id")
+
+
+@_q(
+    "ann_recall_lsh",
+    f"""
+    WITH ap AS ({_LSH_TOPK_SQL}),
+    q2 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    d2 AS (SELECT vec_id AS neighbor_id, embedding AS dv FROM embeddings),
+    es AS (SELECT query_id, neighbor_id, {_COS_EXACT_SQL} AS cos
+           FROM q2, d2 WHERE query_id <> neighbor_id),
+    ex AS (SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+           FROM es)
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS INT) AS n_hits,
+           CAST(count(*) AS INT) AS n_exact
+    FROM (SELECT * FROM ex WHERE rnk <= 3) e
+    LEFT JOIN ap a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY 1
+    """,
+)
+def q_ann_recall_lsh(spark, sf_dir):
+    """Recall@k of the approximate (LSH-bucketed) ANN vs the exact top-k,
+    as integer rows (query_id, n_hits, n_exact) a DuckDB twin recomputes
+    end-to-end — the hard quality signal for the approximate path."""
+    from deep_ner_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    approx = lsh_cosine_topk(emb, queries, 64, "vec_id", "embedding", k=3, n_planes=6)
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", k=3)
+    hit = approx.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("n_hits"),
+            F.count("*").cast("int").alias("n_exact"),
+        )
+    )
 
 
 @_q(
@@ -1234,15 +1417,66 @@ def q_lsh_cosine_topk_exhaustive(spark, sf_dir):
     return out.select("query_id", F.col("rank").cast("long").alias("rnk"), "neighbor_id")
 
 
-@_q("multimodal_image_features")
+@_q(
+    "multimodal_image_features",
+    """
+    WITH d AS (
+      SELECT doc_id AS media_id, md5(text) AS seedh,
+             16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h
+      FROM documents WHERE doc_id < 64),
+    dim AS (
+      SELECT media_id, seedh, w, h, h * w * 3 AS n,
+             (h * w * 3 + 15) // 16 AS blocks,
+             greatest(h // 4, 1) AS gh, greatest(w // 4, 1) AS gw
+      FROM d),
+    blk AS (
+      SELECT media_id, seedh, w, h, n, gh, gw,
+             unnest(generate_series(0, blocks - 1)) AS b
+      FROM dim),
+    hx AS (SELECT *, md5(seedh || ':' || b) AS bh FROM blk),
+    byt AS (
+      SELECT media_id, w, h, n, gh, gw, b * 16 + js.j AS idx,
+             (strpos('0123456789abcdef', substr(bh, 2 * js.j + 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(bh, 2 * js.j + 2, 1)) - 1) AS val
+      FROM hx CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) js),
+    px AS (
+      SELECT media_id, gh, gw, val,
+             (idx // 3) // w AS "row", (idx // 3) % w AS col, idx % 3 AS ch
+      FROM byt WHERE idx < n),
+    cell AS (
+      SELECT media_id,
+             (("row" // gh) * 4 + (col // gw)) * 3 + ch AS cell, val
+      FROM px WHERE "row" < 4 * gh AND col < 4 * gw)
+    SELECT media_id, CAST(cell AS INT) AS cell,
+           CAST(CAST(sum(val) AS DOUBLE) / count(*) AS REAL) AS feat
+    FROM cell GROUP BY 1, 2
+    """,
+)
 def q_multimodal_image_features(spark, sf_dir):
-    """Binary media column -> grid-pooled features (codec stubbed with a
-    deterministic fake; plumbing real — rows-only)."""
-    from deep_ner_spark.operators.multimodal import gen_fake_media, image_features
+    """Binary media column -> grid-pooled mean-channel features through the
+    real mapInPandas plumbing.  The codec seam's deterministic fake derives
+    pixels from an md5 chain over the content bytes (multimodal.py
+    ``_md5_chain_bytes``), so the DuckDB twin recomputes the exact pooled
+    means: content = document text utf-8, dims = f(doc_id), pixel bytes =
+    md5(md5(text) || ':' || block) hex pairs, grid-cell mean in one double
+    division cast to float32 on both sides."""
+    from deep_ner_spark.operators.multimodal import image_features
 
-    media = gen_fake_media(spark, n=64, seed=42, kind="image")
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit("txt").alias("format"),
+            (16 + F.col("doc_id") % 17).cast("int").alias("width"),
+            (16 + F.col("doc_id") % 13).cast("int").alias("height"),
+            F.octet_length("text").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
     out = image_features(media, grid=4)
-    return out.select("media_id", F.size("features").alias("feat_dim"))
+    return out.select(
+        "media_id", F.posexplode("features").alias("cell", "feat")
+    ).select("media_id", F.col("cell").cast("int"), "feat")
 
 
 # --- flagship featurize (rows-only: feature matrices are not SQL) -------------
@@ -1564,6 +1798,107 @@ def q_predict_entities(spark, sf_dir):
     rng = np.random.default_rng(42)
     W = rng.standard_normal((width, n_tags)).astype("float32")
     trans = rng.standard_normal((n_tags, n_tags))
+    return predict_entities(out, classes, W, trans)
+
+
+@_q(
+    "predict_entities_shape_head",
+    """
+    WITH t AS (
+      SELECT CAST(user_id AS VARCHAR) AS conv_id,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+             trim(regexp_replace(regexp_replace(event_type || ' ' || props,
+                  '[^A-Za-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS text
+      FROM events WHERE user_id < 50),
+    toks AS (
+      SELECT conv_id, turn_idx, unnest(s) AS token,
+             unnest(generate_series(1, len(s))) - 1 AS token_idx
+      FROM (SELECT conv_id, turn_idx, string_split(text, ' ') AS s FROM t)),
+    shaped AS (
+      SELECT conv_id, turn_idx, token_idx, token,
+             regexp_replace(regexp_replace(regexp_replace(
+               translate(token,
+                 'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789',
+                 'AAAAAAAAAAAAAAAAAAAAAAAAAAaaaaaaaaaaaaaaaaaaaaaaaaaaDDDDDDDDDD'),
+               'A+', 'A', 'g'), 'a+', 'a', 'g'), 'D+', 'D', 'g') AS shape
+      FROM toks),
+    vocab AS (
+      SELECT shape, row_number() OVER (ORDER BY shape) - 1 AS vidx
+      FROM (SELECT shape FROM shaped GROUP BY shape HAVING count(*) >= 3)),
+    vsize AS (SELECT count(*) AS s FROM vocab),
+    pos AS (
+      SELECT conv_id, turn_idx, token_idx,
+             CAST(coalesce(sum(length(token) + 1) OVER (PARTITION BY conv_id, turn_idx
+                  ORDER BY token_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS INT) AS start,
+             CAST(coalesce(sum(length(token) + 1) OVER (PARTITION BY conv_id, turn_idx
+                  ORDER BY token_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + length(token) AS INT) AS "end",
+             shape
+      FROM shaped),
+    labeled AS (
+      SELECT p.conv_id, p.turn_idx, p.token_idx, p.start, p."end",
+             CASE WHEN p.token_idx = 0 THEN 4
+                  ELSE CAST(coalesce(v.vidx, (SELECT s FROM vsize)) % 7 AS INT) END AS label
+      FROM pos p LEFT JOIN vocab v USING (shape)
+      WHERE p.token_idx < 16),
+    marked AS (
+      SELECT *, label > 0 AS valid,
+             CASE WHEN label > 0 THEN CAST((label - 1) // 2 AS INT) + 1 ELSE 0 END AS cls
+      FROM labeled),
+    opened AS (
+      SELECT *,
+             CASE WHEN valid AND (
+                    lag(valid) OVER w IS NULL OR NOT lag(valid) OVER w
+                    OR label % 2 = 0
+                    OR lag(cls) OVER w <> cls)
+                  THEN 1 ELSE 0 END AS opens
+      FROM marked
+      WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY token_idx)),
+    isl AS (
+      SELECT *, sum(opens) OVER (PARTITION BY conv_id, turn_idx ORDER BY token_idx
+                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM opened)
+    SELECT conv_id, turn_idx, 'KEY' || CAST(min(cls) AS VARCHAR) AS ne_type,
+           min(start) AS start, max("end") AS "end"
+    FROM isl WHERE valid GROUP BY conv_id, turn_idx, island
+    """,
+)
+def q_predict_entities_shape_head(spark, sf_dir):
+    """The FULL E1 read path (featurize -> linear head -> Viterbi -> BIO
+    islands -> char spans) with a hard DuckDB signal: the linear head W is
+    nonzero only on the shape-one-hot block (label = vocab_index % 7) plus a
+    +2 BOS bonus on tag 4, transitions are zero (Viterbi == per-position
+    argmax), and the input text is sanitized to alnum+single-space so the
+    pinned tokenizer's bounds are cumulative sums — every stage becomes
+    SQL-expressible while the Spark side runs the production
+    featurize_transcripts + predict_entities code path end-to-end
+    (elmo_ner.py:277-304)."""
+    import numpy as np
+
+    from deep_ner_spark.pipeline import featurize_transcripts, predict_entities
+
+    transcripts = _derived_transcripts(spark, sf_dir).where(
+        F.col("conv_id").cast("long") < 50
+    )
+    transcripts = transcripts.withColumn(
+        "text",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace("text", r"[^A-Za-z0-9 ]", ""), r" +", " "
+            )
+        ),
+    )
+    out, vocab = featurize_transcripts(transcripts, None, max_seq_length=16, emb_dim=8)
+    classes = ("KEY1", "KEY2", "KEY3")
+    n_tags = 2 * len(classes) + 1
+    emb_dim, S = 8, len(vocab)
+    width = emb_dim + (S + 3) + 66
+    W = np.zeros((width, n_tags), dtype=np.float32)
+    for s in range(S + 1):  # vocab shapes + the unknown column
+        W[emb_dim + s, s % n_tags] = 1.0
+    W[emb_dim + S + 1, 4] = 2.0  # BOS flag -> tag 4 dominates token 0
+    trans = np.zeros((n_tags, n_tags))
     return predict_entities(out, classes, W, trans)
 
 

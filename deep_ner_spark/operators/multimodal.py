@@ -65,22 +65,32 @@ AUDIO_SCHEMA = T.StructType(
 DETERMINISTIC_FAKE = True  # container has no image/audio libs; see module doc
 
 
+def _md5_chain_bytes(content: bytes, n: int) -> np.ndarray:
+    """n deterministic pseudo-random bytes from an md5 chain over the
+    content: block b = md5(md5(content).hexdigest() + ':' + b).  Every step
+    is md5-on-ASCII, so ANY engine with an md5 function (DuckDB, Spark SQL)
+    can recompute the stream — the property the driver oracle uses."""
+    seed_hex = hashlib.md5(content).hexdigest()
+    blocks = (n + 15) // 16
+    buf = b"".join(
+        hashlib.md5(f"{seed_hex}:{b}".encode()).digest() for b in range(blocks)
+    )
+    return np.frombuffer(buf[:n], dtype=np.uint8)
+
+
 def _decode_image(content: bytes, width: int, height: int) -> np.ndarray:
     """[h, w, 3] uint8.  Real impl: PIL.Image.open(BytesIO(content))."""
     if not DETERMINISTIC_FAKE:
         raise NotImplementedError("image codec not available in this container")
-    seed = int.from_bytes(hashlib.blake2b(content, digest_size=8).digest(), "big")
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+    return _md5_chain_bytes(content, height * width * 3).reshape(height, width, 3)
 
 
 def _decode_audio(content: bytes, n_samples: int) -> np.ndarray:
     """[n_samples] float32 PCM.  Real impl: soundfile.read(BytesIO(...))."""
     if not DETERMINISTIC_FAKE:
         raise NotImplementedError("audio codec not available in this container")
-    seed = int.from_bytes(hashlib.blake2b(content, digest_size=8).digest(), "big")
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal(n_samples).astype(np.float32)
+    raw = _md5_chain_bytes(content, n_samples).astype(np.float32)
+    return (raw - 128.0) / 128.0
 
 
 # --- operators (real plumbing) ------------------------------------------------

@@ -110,6 +110,17 @@ def split_assignment(
     )
 
 
+def md5_threshold_hex(test_part: float) -> str:
+    """Fixed-width lowercase-hex threshold T with P(md5_hex < T) == test_part.
+
+    md5 hex digests are uniform over 16^32; a lexicographic comparison on
+    fixed-width lowercase hex equals the numeric comparison, and md5 is
+    bit-identical across Spark and DuckDB — the engine-portable hash trick
+    the dedup family already relies on.  12 hex digits of precision.
+    """
+    return format(int(test_part * 16**12), "012x") + "0" * 20
+
+
 def split_assignment_hashed(
     units: DataFrame,
     spans: DataFrame,
@@ -124,23 +135,28 @@ def split_assignment_hashed(
     Same acceptance rule as :func:`split_assignment` (accept when train/test
     class sets are EQUAL; remember the LAST restart whose test classes are a
     proper subset; warn and take the last restart otherwise), but each
-    restart assigns is_test = hash(sample_id, seed + r) < test_part instead
+    restart assigns is_test = md5(sample_id:seed+r) < threshold instead
     of permuting all ids on the driver — nothing corpus-sized ever leaves
     the executors.  Per restart the only driver traffic is two class sets
-    (one tiny 2-row aggregate over the spans).  Trade-off vs the exact
+    (one tiny 2-row aggregate over the spans).  md5 (not xxhash64) keeps the
+    assignment reproducible by any SQL engine.  Trade-off vs the exact
     mirror: the test fraction is test_part in expectation, not exactly
     round(test_part * n) — the standard large-N relaxation.
     """
     if n_restarts < 2:
         raise ValueError(f"{n_restarts} is too small value of restarts number.")
-    bound = int(test_part * 1_000_000)
+    threshold = md5_threshold_hex(test_part)
 
     def assign_for(r: int) -> DataFrame:
         return units.select(
             sample_col,
             (
-                F.pmod(F.xxhash64(F.col(sample_col), F.lit(seed + r)), F.lit(1_000_000))
-                < bound
+                F.md5(
+                    F.concat(
+                        F.col(sample_col).cast("string"), F.lit(f":{seed + r}")
+                    )
+                )
+                < F.lit(threshold)
             ).alias("is_test"),
         )
 

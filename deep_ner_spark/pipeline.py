@@ -159,10 +159,14 @@ def predict_entities(
     )
 
     def run(batches):
+        cols = ["conv_id", "turn_idx", "ne_type", "start", "end"]
         for pdf in batches:
-            rows = []
             # column zip, not iterrows: row-object construction would dominate
-            # the (numpy matmul) per-turn work at Arrow batch sizes
+            # the per-turn work at Arrow batch sizes.  The linear head runs as
+            # ONE [sum L, width] @ W matmul over the whole Arrow batch (turn
+            # slices are views into the stacked logits), so the Python loop
+            # carries only the O(L) Viterbi DP + span decode per turn.
+            mats, metas = [], []
             for conv_id, turn_idx, features, width, starts, ends in zip(
                 pdf["conv_id"],
                 pdf["turn_idx"],
@@ -174,16 +178,24 @@ def predict_entities(
                 m = decode_feature_matrix(features, int(width))
                 if m.shape[0] == 0:
                     continue
-                logits = m @ W
+                mats.append(m)
+                metas.append((conv_id, int(turn_idx), starts, ends, m.shape[0]))
+            if not mats:
+                yield pd.DataFrame([], columns=cols)
+                continue
+            logits_all = np.vstack(mats) @ W
+            rows = []
+            off = 0
+            for conv_id, turn_idx, starts, ends, n in metas:
+                logits = logits_all[off:off + n]
+                off += n
                 labels = viterbi_decode(logits, trans)
-                bounds = list(zip(starts, ends))[: m.shape[0]]
+                bounds = list(zip(starts, ends))[:n]
                 spans = textfns.decode_bio_spans(bounds, classes, labels.tolist())
                 for ne_type in spans:
                     for s, e in spans[ne_type]:
-                        rows.append((conv_id, int(turn_idx), ne_type, s, e))
-            yield pd.DataFrame(
-                rows, columns=["conv_id", "turn_idx", "ne_type", "start", "end"]
-            )
+                        rows.append((conv_id, turn_idx, ne_type, s, e))
+            yield pd.DataFrame(rows, columns=cols)
 
     cols = ["conv_id", "turn_idx", "features", "feature_width", "starts", "ends"]
     return featurized.select(*cols).mapInPandas(run, schema=schema)

@@ -92,3 +92,70 @@ def test_table_io_parquet_fallback_roundtrip(spark, tmp_path):
             table_io.read_table(spark, "db.transcripts")
         with pytest.raises(RuntimeError, match="Iceberg"):
             table_io.read_table(spark, str(tmp_path / "tbl"), fmt="iceberg")
+
+
+def test_table_io_snapshot_lineage_roundtrip(spark, tmp_path, tdf):
+    """SURVEY §4.2 layout end-to-end: write with the engine's partition
+    spec (day + conv_id bucket, the Parquet stand-in for Iceberg's
+    days(ts)/bucket(conv_id)), read back through the seam, and record the
+    input snapshot id in a backfill lineage row.  The snapshot id must
+    survive mtime churn (content-based fingerprint) and change on append."""
+    import os
+    import time
+
+    from deep_ner_spark.sources import table_io
+
+    loc = str(tmp_path / "transcripts")
+    laid = tdf.withColumn("day", F.to_date("ts")).withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(4))
+    )
+    table_io.write_table(laid, loc, mode="overwrite", partition_by=["day", "bucket"])
+    parts = [p.name for p in (tmp_path / "transcripts").iterdir() if p.is_dir()]
+    assert any(p.startswith("day=") for p in parts)
+
+    snap = table_io.snapshot_id(spark, loc)
+    # mtime churn (touch every file) must NOT change the snapshot id
+    later = time.time() + 1000
+    for root, _dirs, files in os.walk(loc):
+        for name in files:
+            os.utime(os.path.join(root, name), (later, later))
+    assert table_io.snapshot_id(spark, loc) == snap
+
+    back = table_io.read_table(spark, loc)
+    ckpt = CheckpointTable(spark, str(tmp_path / "lineage"))
+    executed = resumable_backfill(
+        spark,
+        ["u0"],
+        lambda u: back.drop("day", "bucket"),
+        str(tmp_path / "out"),
+        ckpt,
+        "run1",
+        ["text"],
+        "ts",
+        snapshot_id=snap,
+    )
+    assert executed == ["u0"]
+    rec = ckpt.read().collect()[0]
+    assert rec["snapshot_id"] == snap
+    assert rec["row_count"] == tdf.count()
+
+    # appending data changes the snapshot id
+    table_io.write_table(laid.limit(1), loc, mode="append", partition_by=["day", "bucket"])
+    assert table_io.snapshot_id(spark, loc) != snap
+
+
+def test_table_io_auto_mode_bare_name_falls_back_to_parquet(spark):
+    """A bare catalog-style name that exists as a directory reads back as
+    Parquet in auto mode (symmetric with write_table's fallback)."""
+    import shutil
+    import uuid
+
+    from deep_ner_spark.sources import table_io
+
+    name = f"tmp_tbl_{uuid.uuid4().hex[:8]}"  # JVM + Python cwd == repo root
+    df = spark.createDataFrame([(1, "a")], ["x", "y"])
+    try:
+        table_io.write_table(df, name, mode="overwrite")
+        assert table_io.read_table(spark, name).count() == 1
+    finally:
+        shutil.rmtree(name, ignore_errors=True)
