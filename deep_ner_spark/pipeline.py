@@ -25,8 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from deep_ner_spark.operators.asof import asof_join, asof_join_salted
-from deep_ner_spark.operators.features import featurize_fused, fit_shape_vocab
-from deep_ner_spark.operators.tokens import tokenize_turns
+from deep_ner_spark.operators.features import featurize_fused, fit_shape_vocab_from_text
 from deep_ner_spark.operators.windows import forward_fill, lag_lead, sessionize
 
 
@@ -94,8 +93,11 @@ def featurize_transcripts(
     if vocab is None:
         # a dedicated fit pass beats persisting the tokenized frame: the
         # cache write of the token arrays costs ~2x the re-tokenize
-        # (measured at sf0.1: 12.5s cached-cold vs 2.3s fit + 3.8s main)
-        vocab = fit_shape_vocab(tokenize_turns(transcripts))
+        # (measured at sf0.1: 12.5s cached-cold vs 2.3s fit + 3.8s main).
+        # The count-only fit skips bounds/pos/dep and ships per-batch
+        # (shape, count) pairs instead of six token arrays — same functions,
+        # same vocabulary, fraction of the Python+Arrow cost.
+        vocab = fit_shape_vocab_from_text(transcripts)
     # fused normalize+tokenize+featurize: ONE Arrow round trip (the split
     # form ships token arrays Python->JVM->Python through two eval nodes)
     feats = featurize_fused(slim, vocab, max_seq_length, emb_dim)

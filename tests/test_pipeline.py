@@ -50,6 +50,16 @@ def test_shape_vocab_parity(data, spark):
     assert fit_shape_vocab(toks) == reference_vocab(t)
 
 
+def test_fit_shape_vocab_from_text_equals_tokenized_fit(data, spark):
+    """The count-only fit pass (the flagship's vocab source) must produce
+    the exact vocabulary of the full tokenized fit and of the reference
+    computation."""
+    from deep_ner_spark.operators.features import fit_shape_vocab_from_text
+
+    tdf, _, _, t, _, _ = data
+    assert fit_shape_vocab_from_text(tdf) == reference_vocab(t)
+
+
 def test_classes_list_parity(data, spark):
     _, sdf, _, _, s, _ = data
     assert fit_classes_list(sdf) == tuple(sorted(s["ne_type"].unique()))
