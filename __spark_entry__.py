@@ -1144,11 +1144,65 @@ def q_span_merge_reference(spark, sf_dir):
 # --- rows-only entries (non-SQL-expressible operators) ------------------------
 
 
-@_q("viterbi_decode")
+def _viterbi_dp_sql() -> str:
+    """Recursive-CTE twin of operators/viterbi.py:22 for the 3-tag entry:
+    forward DP carrying (scores, backpointers) per position, then a backward
+    recursion following the pointers.  Bit-exact float64: each oracle
+    expression replays numpy's exact op sequence (s_i + T_ij one addition,
+    greatest == max, + logit), and every argmax CASE is first-wins like
+    np.argmax."""
+    trans = [[0.0, 1.0, -1.0], [1.0, 0.0, 1.0], [-1.0, 1.0, 0.0]]
+
+    def cand(i, j):
+        return f"(s{i} + ({trans[i][j]!r}))"
+
+    def back_ptr(j):
+        return (
+            f"CASE WHEN {cand(0, j)} >= {cand(1, j)} AND {cand(0, j)} >= {cand(2, j)} THEN 0 "
+            f"WHEN {cand(1, j)} >= {cand(2, j)} THEN 1 ELSE 2 END"
+        )
+
+    def best(j):
+        return f"greatest({cand(0, j)}, {cand(1, j)}, {cand(2, j)})"
+
+    return f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events WHERE event_id < 2000),
+    lg AS (
+      SELECT user_id, pos, n, value AS l0, 100 - value AS l1, value / 2 AS l2 FROM seq),
+    dp AS (
+      SELECT user_id, pos, n, l0 AS s0, l1 AS s1, l2 AS s2,
+             0 AS b0, 0 AS b1, 0 AS b2
+      FROM lg WHERE pos = 0
+      UNION ALL
+      SELECT nx.user_id, nx.pos, nx.n,
+             {best(0)} + nx.l0, {best(1)} + nx.l1, {best(2)} + nx.l2,
+             {back_ptr(0)}, {back_ptr(1)}, {back_ptr(2)}
+      FROM dp JOIN lg nx ON nx.user_id = dp.user_id AND nx.pos = dp.pos + 1),
+    back AS (
+      SELECT user_id, pos,
+             CASE WHEN s0 >= s1 AND s0 >= s2 THEN 0 WHEN s1 >= s2 THEN 1 ELSE 2 END AS label
+      FROM dp WHERE pos = n - 1
+      UNION ALL
+      SELECT d.user_id, d.pos - 1,
+             CASE b.label WHEN 0 THEN d.b0 WHEN 1 THEN d.b1 ELSE d.b2 END
+      FROM back b JOIN dp d ON d.user_id = b.user_id AND d.pos = b.pos
+      WHERE b.pos > 0)
+    SELECT user_id, CAST(pos AS INT) AS pos, CAST(label AS INT) AS label_id
+    FROM back
+    """
+
+
+@_q("viterbi_decode", _viterbi_dp_sql())
 def q_viterbi_decode(spark, sf_dir):
-    """CRF Viterbi decode over deterministic synthetic logits (dynamic
-    program — not SQL-expressible; rows-only check, pinned by pytest
-    against brute-force enumeration)."""
+    """CRF Viterbi decode over deterministic synthetic logits with NONZERO
+    transitions — fully oracled: the DuckDB twin runs the same dynamic
+    program as a recursive CTE (forward scores + backpointers, backward
+    path reconstruction), bit-exact in float64 with first-wins argmax ties;
+    pytest additionally pins the decode against brute-force enumeration."""
     from deep_ner_spark.operators.viterbi import decode_labels
 
     ev = _read(spark, sf_dir, "events").where(F.col("event_id") < 2000)
