@@ -1533,6 +1533,59 @@ def q_multimodal_image_features(spark, sf_dir):
     ).select("media_id", F.col("cell").cast("int"), "feat")
 
 
+@_q(
+    "multimodal_audio_energy",
+    """
+    WITH d AS (
+      SELECT doc_id AS media_id, md5(text) AS seedh,
+             400 + (doc_id % 23) * 71 AS ns
+      FROM documents WHERE doc_id < 64),
+    blk AS (
+      SELECT media_id, seedh, ns,
+             unnest(generate_series(0, (ns + 15) // 16 - 1)) AS b
+      FROM d),
+    hx AS (SELECT *, md5(seedh || ':' || b) AS bh FROM blk),
+    byt AS (
+      SELECT media_id, ns, b * 16 + js.j AS idx,
+             (strpos('0123456789abcdef', substr(bh, 2 * js.j + 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(bh, 2 * js.j + 2, 1)) - 1) AS val
+      FROM hx CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) js),
+    smp AS (
+      SELECT media_id, ns, idx, (val - 128) * (val - 128) AS sq
+      FROM byt WHERE idx < ns),
+    frames AS (SELECT media_id, ns, unnest(generate_series(0, 7)) AS k FROM d),
+    valid AS (SELECT media_id, k FROM frames WHERE k * 160 + 400 <= ns),
+    j AS (
+      SELECT v.media_id, v.k, s.sq
+      FROM valid v JOIN smp s ON s.media_id = v.media_id
+       AND s.idx >= v.k * 160 AND s.idx < v.k * 160 + 400)
+    SELECT media_id, CAST(k AS INT) AS frame_idx,
+           CAST(CAST(sum(sq) AS DOUBLE) / 6553600 AS REAL) AS energy
+    FROM j GROUP BY 1, 2
+    """,
+)
+def q_multimodal_audio_energy(spark, sf_dir):
+    """Audio binary column -> fixed-hop frame energies through the real
+    mapInPandas plumbing.  The md5-chain fake PCM is dyadic (k/128), so
+    every square and partial sum is exact in float64 and the DuckDB twin
+    recomputes each frame energy bit-exactly as
+    sum((raw-128)^2) / (16384 * frame_len) cast to float32."""
+    from deep_ner_spark.operators.multimodal import audio_frame_sample
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit("pcm16").alias("codec"),
+            F.lit(16000).cast("int").alias("sample_rate"),
+            (400 + (F.col("doc_id") % 23) * 71).cast("long").alias("n_samples"),
+        ).alias("meta"),
+    )
+    out = audio_frame_sample(media, frame_len=400, hop=160, max_frames=8)
+    return out.select("media_id", "frame_idx", "energy")
+
+
 # --- flagship featurize (rows-only: feature matrices are not SQL) -------------
 
 

@@ -281,22 +281,24 @@ def main(render_only: bool = False):
             summary["paired_eff_median"] = pr["median_eff"]
             summary["value"] = max(summary["value"], pr["median_eff"])
             paired_md = f"""
-### Window-paired measurement of the gate pair (primary evidence)
+### Window-paired probes of the gate pair (noise bar)
 
-The floor-comparison above compares each config's best-ever window; on a
-host with ±40% noise windows lasting minutes that biases the ratio by
-whichever config happened to sample a better window.  The paired protocol
-measures local[{pr['a']}] and local[{pr['b']}] back-to-back inside one
-window (one warm-up + one timed rep per side, alternating), so the window
-term cancels in each ratio:
+An attempted variance-reduction protocol: local[{pr['a']}] and
+local[{pr['b']}] measured back-to-back (one warm-up + one timed rep per
+side) so both sides of each ratio see a similar host window.  In practice
+windows shift WITHIN a ~5-minute pair too, so individual pairs scatter in
+both directions; the table is reported as the honest noise bar around the
+floor-based estimate (every observation below is also folded into the
+session floors above):
 
 | pair | local[{pr['a']}] sec | local[{pr['b']}] sec | efficiency |
 |---|---|---|---|
 {rows}
 
-**Median paired efficiency local[{pr['a']}] -> local[{pr['b']}]:
-{pr['median_eff']:.3f}** (best {pr['best_eff']:.3f}) — the primary
-N -> 4N gate evidence; the per-pair spread above is the honest noise bar.
+Median of pairs {pr['median_eff']:.3f}, spread
+{min(p['eff'] for p in pr['pairs']):.3f}-{pr['best_eff']:.3f} over
+{len(pr['pairs'])} pairs — consistent with the floor-based
+{effs.get('2->8', 0):.3f} once within-pair drift is folded in.
 """
     best_pair = max(effs, key=effs.get)
     md = f"""# BENCH — measured numbers (sandbox: single node, {os.cpu_count()} cores, local mode)
@@ -323,13 +325,12 @@ sessions reported (see protocol note below).
 
 {paired_md}
 Gate: >= 0.8 between a cluster size N and 4N (BASELINE.md "scaling gate").
-Status, stated plainly: floor-based 2->8 is {effs.get('2->8', 0):.3f} and
-window-paired 2->8 spans 0.50-0.84 (median 0.71) across host windows,
+Status, stated plainly: with every observation folded in, floor-based 2->8
+is {effs.get('2->8', 0):.3f} (paired probes scatter 0.36-0.99 around it),
 against hardware-ceiling probes of 0.83-1.03 for the same transition
-(window-dependent; see footnote) —
-the engine reaches the gate in its best same-window pairs and sits ~0.08
-under it on the window-median, on a SHARED single node.  Context that
-matters for the 10^12-turn design point:
+(window-dependent; see footnote): on this SHARED single node the engine
+sits under the gate by ~0.06-0.08 and reaches it only in favorable
+windows.  Context that matters for the 10^12-turn design point:
 
 - Since round 2 the engine became **1.66x faster in absolute terms at every
   width** (local[32] 91.8k -> 152.9k turns/s; the round-2 engine recorded

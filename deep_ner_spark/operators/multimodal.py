@@ -167,13 +167,20 @@ def audio_frame_sample(
                 pdf["media_id"], pdf["content"], pdf["meta"]
             ):
                 pcm = _decode_audio(content, int(meta["n_samples"]))
+                # mean of squares in float64.  For the md5-chain fake the
+                # samples are dyadic rationals k/128 (|k| <= 128), so every
+                # square and partial sum is EXACT in f64 and the single
+                # division is the only rounding — a SQL engine recomputing
+                # sum((raw-128)^2) / (16384 * frame_len) lands on the same
+                # bits (the driver oracle relies on this)
+                sq = pcm.astype(np.float64) ** 2
                 for k in range(max_frames):
                     s = k * hop
                     if s + frame_len > len(pcm):
                         break
                     ids.append(media_id)
                     idxs.append(k)
-                    energies.append(float(np.mean(pcm[s:s + frame_len] ** 2)))
+                    energies.append(float(sq[s:s + frame_len].sum() / frame_len))
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "energy": energies}
             )
