@@ -213,9 +213,15 @@ def _merge_history(r2: dict, r8: dict, r32: dict) -> tuple:
 def main(render_only: bool = False):
     if render_only:
         # re-render BENCH/BASELINE.md from the merged history without
-        # re-measuring (fresh ceiling probe only)
+        # re-measuring (fresh ceiling probe only).  Select ONE checksum —
+        # the newest (dict order == insertion order) — before building
+        # by_cpus, so a re-render can never mix results from an older
+        # engine version (the history's keyed-by-checksum guarantee).
         hist = json.loads((REPO / "BENCH" / "scaling_runs.json").read_text())
-        by_cpus = {v["cpus"]: v for v in hist.values()}
+        newest_chk = list(hist.values())[-1]["checksum"]
+        by_cpus = {
+            v["cpus"]: v for v in hist.values() if v["checksum"] == newest_chk
+        }
         r2, r8, r32 = by_cpus[2], by_cpus[8], by_cpus[32]
     else:
         r2 = run_config(2, n_iter=3)
@@ -246,9 +252,16 @@ def main(render_only: bool = False):
         for a, b in pairs
     }
     ceiling = cpu_ceiling()
+    # headline value = the GATE pair's floor-based efficiency (2->8, the
+    # pair the prose reports against the >=0.8 bar); the best pair and the
+    # paired-protocol median are reported as separate fields, never folded
+    # into the headline (a max over estimators overstates the gate).
+    gate_pair = "2->8" if "2->8" in effs else max(effs, key=effs.get)
     summary = {
         "metric": "scaling_efficiency_N_to_4N",
-        "value": max(effs.values()),
+        "value": effs[gate_pair],
+        "gate_pair": gate_pair,
+        "max_pair_eff": max(effs.values()),
         "unit": "ratio",
         "pairs": effs,
         "eff_2_to_8": round(eff_2_8, 3),
@@ -279,7 +292,6 @@ def main(render_only: bool = False):
                 for p in pr["pairs"]
             )
             summary["paired_eff_median"] = pr["median_eff"]
-            summary["value"] = max(summary["value"], pr["median_eff"])
             paired_md = f"""
 ### Window-paired probes of the gate pair (noise bar)
 

@@ -269,6 +269,7 @@ def make_fused_featurize_udf(
     max_seq_length: int,
     emb_dim: int = 16,
     emit_linguistics: bool = False,
+    cache_max_entries: int | None = None,
 ):
     """One Arrow round-trip: normalized text -> tokens + bounds + binary
     feature matrix (+ shapes/pos/dep arrays when ``emit_linguistics``).
@@ -314,7 +315,15 @@ def make_fused_featurize_udf(
     # table V, so the per-batch work is ONE fancy-index gather V[ids] plus
     # vectorized BOS/EOS flag scatters — no per-token row copies, no
     # per-turn np.zeros (the VERDICT r2 item: batch numpy one-hot scatter).
+    # The cache is BOUNDED: with Python worker reuse (default on) and a
+    # Zipf-tailed corpus (ids, numbers, typos) an unbounded table would
+    # grow without limit over a long-lived worker.  At cache_max_entries
+    # distinct triples (~width*4 bytes each; default caps V at ~100-200MB)
+    # the table is reset — correctness is unaffected (rows are recomputed),
+    # only the tail of rare tokens re-pays its vector build.
     state = {"V": np.zeros((1024, width), dtype=np.float32), "n": 0, "idx": {}}
+    if cache_max_entries is None:
+        cache_max_entries = max(int(50_000_000 / max(width, 1)), 65_536)
 
     def row_of(tok: str, is_first: bool, parity: int) -> int:
         key = (tok, is_first, parity)
@@ -337,6 +346,13 @@ def make_fused_featurize_udf(
 
     @pandas_udf(schema)
     def fused(texts: pd.Series) -> pd.DataFrame:
+        # bound the executor-lifetime cache BETWEEN batches (a mid-batch
+        # reset would orphan row ids already collected for this batch);
+        # one batch adds at most batch_rows*max_seq_length entries on top.
+        if state["n"] >= cache_max_entries:
+            state["V"] = np.zeros((1024, width), dtype=np.float32)
+            state["n"] = 0
+            state["idx"] = {}
         cols: dict = {
             "tokens": [],
             "starts": [],
@@ -380,7 +396,11 @@ def make_fused_featurize_udf(
             blob[offs[i] * row_bytes: offs[i + 1] * row_bytes]
             for i in range(len(lens))
         ]
-        return pd.DataFrame(cols)
+        # emit columns in declared-schema order: Arrow struct conversion
+        # assigns by name only while assignColumnsByName stays true; under
+        # positional assignment a (…, features, shapes, …) dict order would
+        # hand the binary field the shapes array.
+        return pd.DataFrame({f.name: cols[f.name] for f in schema.fields})
 
     return fused
 

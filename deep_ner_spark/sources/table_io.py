@@ -30,6 +30,19 @@ def _is_catalog_table(location: str) -> bool:
     return "/" not in location and "\\" not in location
 
 
+def _fs_path_exists(spark: SparkSession, location: str) -> bool:
+    """Existence probe against the session's DEFAULT Hadoop filesystem, so
+    the parquet-directory fallback resolves the same way the reader will
+    (HDFS/S3 on a cluster, local FS in the sandbox)."""
+    try:
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(location)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(fs.makeQualified(path)))
+    except Exception:
+        return os.path.exists(location)
+
+
 def _iceberg_available(spark: SparkSession) -> bool:
     try:
         spark._jvm.java.lang.Class.forName(
@@ -52,8 +65,12 @@ def read_table(spark: SparkSession, location: str, fmt: str = "auto") -> DataFra
                 )
             # auto mode, no Iceberg runtime: a bare name like 'data' may be a
             # relative Parquet directory (write_table would have written one)
-            # — read it back symmetrically instead of erroring
-            if os.path.exists(location):
+            # — read it back symmetrically instead of erroring.  The probe
+            # goes through the JVM Hadoop FileSystem, not the driver's local
+            # os.path: on a deployment whose default FS is remote (HDFS/S3)
+            # a local check is wrong in both directions (remote dirs are
+            # invisible locally; stray local dirs shadow catalog names).
+            if _fs_path_exists(spark, location):
                 return spark.read.parquet(location)
             raise ValueError(
                 f"{location!r} looks like a catalog table but no Iceberg "

@@ -188,3 +188,28 @@ def test_entity_spans_slice_to_phrases(data, spark):
     phrases = {p for ps in datagen.ENTITY_PHRASES.values() for p in ps}
     for _, row in merged.iterrows():
         assert row.text[row.start:row.end] in phrases
+
+
+def test_fused_featurize_cache_cap_resets_without_changing_output():
+    """The executor-lifetime vector table is bounded (ADVICE r3): when the
+    distinct-triple count exceeds cache_max_entries the table resets
+    BETWEEN Arrow batches.  A capped udf must emit byte-identical features
+    to an uncapped one across repeated calls (rows recomputed, not stale)."""
+    import pandas as pd
+
+    from deep_ner_spark.operators.features import make_fused_featurize_udf
+
+    vocab = ("a", "A", "D")
+    texts = pd.Series(
+        ["alpha beta 42", "Gamma delta", "x1 y2 z3 alpha", "", "beta 42"]
+    )
+    free = make_fused_featurize_udf(vocab, 8, emb_dim=4).func
+    capped = make_fused_featurize_udf(vocab, 8, emb_dim=4, cache_max_entries=2).func
+    ref = free(texts)
+    for _ in range(3):  # several batches: reset fires between each
+        got = capped(texts)
+        assert list(got.columns) == list(ref.columns)
+        for c in ref.columns:
+            assert list(got[c].map(bytes) if c == "features" else got[c].map(tuple)) == list(
+                ref[c].map(bytes) if c == "features" else ref[c].map(tuple)
+            ), c

@@ -312,3 +312,17 @@ def test_streaming_asof_agrees_with_batch(spark, tmp_path):
     for r in got2.collect():
         k = (r["conv_id"], r["turn_seq"], r["ts_us"])
         assert k in ref_rows and ref_rows[k] == r["state_value"], f"mismatch {k}"
+
+
+def test_split_threshold_hex_twin_matches_library():
+    """__spark_entry__._split_threshold_hex duplicates
+    operators/splitting.md5_threshold_hex (the oracle string must build
+    before the package import is guaranteed); pin the two formulas equal at
+    many fractions so drift at a non-oracled fraction can't go uncaught."""
+    import importlib
+
+    entry = importlib.import_module("__spark_entry__")
+    from deep_ner_spark.operators.splitting import md5_threshold_hex
+
+    for frac in (0.0, 0.1, 0.25, 1 / 3, 0.5, 0.625, 0.75, 0.9, 1.0):
+        assert entry._split_threshold_hex(frac) == md5_threshold_hex(frac), frac
