@@ -1886,11 +1886,191 @@ def q_streaming_asof(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
-@_q("predict_entities")
+def _md5_dyadic(s: str) -> float:
+    """Hash-chain head weight: md5(s)'s first 8 hex digits -> a dyadic
+    rational k/256 in [-16, 16).  Exactly representable in float32 (and any
+    partial sum of a few of them is exact too), and reproducible in DuckDB
+    as ``((CAST('0x'||substr(md5(s),1,8) AS BIGINT) % 8192) - 4096)/256.0``
+    — the same quantization trick that made multimodal_audio_energy
+    hash-exact, applied to the linear head (VERDICT r3 item 2)."""
+    import hashlib
+
+    return ((int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 8192) - 4096) / 256.0
+
+
+def _md5_head_transitions(n_tags: int):
+    return [
+        [_md5_dyadic(f"t:{i}:{j}") for j in range(n_tags)] for i in range(n_tags)
+    ]
+
+
+def _predict_full_sql() -> str:
+    """DuckDB twin of the FULL predict_entities read path with the md5-chain
+    dyadic head and NONZERO transitions: sanitized-text featurize (shape
+    vocab + bounds as window sums) -> per-tag logits from md5-derived W
+    (nonzero only on the shape/BOS/EOS one-hot rows, so the float32 matmul
+    is a sum of exact dyadics = order-independent and bit-exact) -> 7-tag
+    recursive-CTE Viterbi with md5-derived dyadic transitions (every DP
+    value stays an exact multiple of 1/256, so the SQL needs only numpy's
+    first-wins argmax tie rule, not its op order) -> BIO islands -> char
+    spans."""
+    K = 7
+    trans = _md5_head_transitions(K)
+
+    def w(r_sql: str, t: int) -> str:
+        # md5-chain W entry for feature row r (a SQL expression; the row
+        # index depends on the fitted vocab size) and tag t (a literal)
+        return (
+            f"(((CAST(('0x' || substr(md5('w:' || CAST({r_sql} AS VARCHAR) "
+            f"|| ':{t}'), 1, 8)) AS BIGINT) % 8192) - 4096) / 256.0)"
+        )
+
+    def logit(t: int) -> str:
+        return (
+            f"{w('shape_r', t)}"
+            f" + CASE WHEN pos = 0 THEN {w('bos_r', t)} ELSE 0.0 END"
+            f" + CASE WHEN pos = n - 1 THEN {w('eos_r', t)} ELSE 0.0 END"
+        )
+
+    def cand(i: int, j: int) -> str:
+        return f"(s{i} + ({trans[i][j]!r}))"
+
+    def back_ptr(j: int) -> str:
+        whens = []
+        for i in range(K - 1):
+            conds = " AND ".join(
+                f"{cand(i, j)} >= {cand(m, j)}" for m in range(i + 1, K)
+            )
+            whens.append(f"WHEN {conds} THEN {i}")
+        return "CASE " + " ".join(whens) + f" ELSE {K - 1} END"
+
+    def best(j: int) -> str:
+        return "greatest(" + ", ".join(cand(i, j) for i in range(K)) + ")"
+
+    def final_argmax() -> str:
+        whens = []
+        for i in range(K - 1):
+            conds = " AND ".join(f"s{i} >= s{m}" for m in range(i + 1, K))
+            whens.append(f"WHEN {conds} THEN {i}")
+        return "CASE " + " ".join(whens) + f" ELSE {K - 1} END"
+
+    scores0 = ", ".join(f"l{j} AS s{j}" for j in range(K))
+    backs0 = ", ".join(f"0 AS b{j}" for j in range(K))
+    step_scores = ",\n             ".join(
+        f"{best(j)} + nx.l{j}" for j in range(K)
+    )
+    step_backs = ",\n             ".join(back_ptr(j) for j in range(K))
+    logits = ",\n             ".join(f"{logit(j)} AS l{j}" for j in range(K))
+    follow = (
+        "CASE b.label "
+        + " ".join(f"WHEN {j} THEN d.b{j}" for j in range(K - 1))
+        + f" ELSE d.b{K - 1} END"
+    )
+
+    return f"""
+    WITH RECURSIVE t AS (
+      SELECT CAST(user_id AS VARCHAR) AS conv_id,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+             trim(regexp_replace(regexp_replace(event_type || ' ' || props,
+                  '[^A-Za-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS text
+      FROM events WHERE user_id < 50),
+    toks AS (
+      SELECT conv_id, turn_idx, unnest(s) AS token,
+             unnest(generate_series(1, len(s))) - 1 AS token_idx
+      FROM (SELECT conv_id, turn_idx, string_split(text, ' ') AS s FROM t)),
+    shaped AS (
+      SELECT conv_id, turn_idx, token_idx, token,
+             regexp_replace(regexp_replace(regexp_replace(
+               translate(token,
+                 'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789',
+                 'AAAAAAAAAAAAAAAAAAAAAAAAAAaaaaaaaaaaaaaaaaaaaaaaaaaaDDDDDDDDDD'),
+               'A+', 'A', 'g'), 'a+', 'a', 'g'), 'D+', 'D', 'g') AS shape
+      FROM toks WHERE token <> ''),
+    vocab AS (
+      SELECT shape, row_number() OVER (ORDER BY shape) - 1 AS vidx
+      FROM (SELECT shape FROM shaped GROUP BY shape HAVING count(*) >= 3)),
+    vsize AS (SELECT count(*) AS s FROM vocab),
+    bnd AS (
+      SELECT conv_id, turn_idx, token_idx,
+             CAST(coalesce(sum(length(token) + 1) OVER (PARTITION BY conv_id, turn_idx
+                  ORDER BY token_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS INT) AS start,
+             CAST(coalesce(sum(length(token) + 1) OVER (PARTITION BY conv_id, turn_idx
+                  ORDER BY token_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + length(token) AS INT) AS "end",
+             shape
+      FROM shaped),
+    lab AS (
+      SELECT b.conv_id, b.turn_idx, b.token_idx AS pos, b.start, b."end",
+             8 + coalesce(v.vidx, (SELECT s FROM vsize)) AS shape_r,
+             8 + (SELECT s FROM vsize) + 1 AS bos_r,
+             8 + (SELECT s FROM vsize) + 2 AS eos_r,
+             count(*) OVER (PARTITION BY b.conv_id, b.turn_idx) AS n
+      FROM bnd b LEFT JOIN vocab v USING (shape)
+      WHERE b.token_idx < 16),
+    lg AS (
+      SELECT conv_id, turn_idx, pos, n, start, "end",
+             {logits}
+      FROM lab),
+    dp AS (
+      SELECT conv_id, turn_idx, pos, n, {scores0}, {backs0}
+      FROM lg WHERE pos = 0
+      UNION ALL
+      SELECT nx.conv_id, nx.turn_idx, nx.pos, nx.n,
+             {step_scores},
+             {step_backs}
+      FROM dp JOIN lg nx
+        ON nx.conv_id = dp.conv_id AND nx.turn_idx = dp.turn_idx
+       AND nx.pos = dp.pos + 1),
+    back AS (
+      SELECT conv_id, turn_idx, pos, {final_argmax()} AS label
+      FROM dp WHERE pos = n - 1
+      UNION ALL
+      SELECT d.conv_id, d.turn_idx, d.pos - 1, {follow}
+      FROM back b JOIN dp d
+        ON d.conv_id = b.conv_id AND d.turn_idx = b.turn_idx AND d.pos = b.pos
+      WHERE b.pos > 0),
+    marked AS (
+      SELECT g.conv_id, g.turn_idx, g.pos, g.start, g."end",
+             b.label > 0 AS valid,
+             CASE WHEN b.label > 0 THEN CAST((b.label - 1) // 2 AS INT) + 1 ELSE 0 END AS cls,
+             b.label
+      FROM lg g JOIN back b
+        ON b.conv_id = g.conv_id AND b.turn_idx = g.turn_idx AND b.pos = g.pos),
+    opened AS (
+      SELECT *,
+             CASE WHEN valid AND (
+                    lag(valid) OVER w IS NULL OR NOT lag(valid) OVER w
+                    OR label % 2 = 0
+                    OR lag(cls) OVER w <> cls)
+                  THEN 1 ELSE 0 END AS opens
+      FROM marked
+      WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY pos)),
+    isl AS (
+      SELECT *, sum(opens) OVER (PARTITION BY conv_id, turn_idx ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM opened)
+    SELECT conv_id, turn_idx,
+           CASE min(cls) WHEN 1 THEN 'LOCATION' WHEN 2 THEN 'ORG' ELSE 'PERSON' END AS ne_type,
+           min(start) AS start, max("end") AS "end"
+    FROM isl WHERE valid GROUP BY conv_id, turn_idx, island
+    """
+
+
+@_q("predict_entities", _predict_full_sql())
 def q_predict_entities(spark, sf_dir):
-    """SURVEY E1 read path composed end-to-end: featurize -> seeded linear
-    head -> Viterbi -> BIO islands -> entity spans (rows-only; the per-stage
-    semantics are oracle-/golden-checked individually)."""
+    """SURVEY E1 read path composed end-to-end AND fully oracled: featurize
+    -> md5-chain dyadic linear head -> Viterbi with NONZERO md5-dyadic
+    transitions -> BIO islands -> entity spans (elmo_ner.py:277-304).
+
+    Replaces round 3's rows-only seeded-random head: W is derived from an
+    md5 chain quantized to multiples of 1/256 (exact in float32), nonzero
+    only on the shape/BOS/EOS one-hot feature rows, so the production
+    float32 matmul emits bit-exact dyadic logits; the transitions are
+    md5-dyadic too, so every Viterbi DP value stays exact and the DuckDB
+    recursive-CTE twin reproduces the whole path hash-exactly.  The text is
+    sanitized to alnum+single-space (as predict_entities_shape_head) so the
+    pinned tokenizer's bounds are SQL window sums."""
     import numpy as np
 
     from deep_ner_spark.pipeline import featurize_transcripts, predict_entities
@@ -1898,13 +2078,30 @@ def q_predict_entities(spark, sf_dir):
     transcripts = _derived_transcripts(spark, sf_dir).where(
         F.col("conv_id").cast("long") < 50
     )
+    transcripts = transcripts.withColumn(
+        "text",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace("text", r"[^A-Za-z0-9 ]", ""), r" +", " "
+            )
+        ),
+    )
     out, vocab = featurize_transcripts(transcripts, None, max_seq_length=16, emb_dim=8)
     classes = ("LOCATION", "ORG", "PERSON")
     n_tags = 2 * len(classes) + 1
-    width = 8 + len(vocab) + 3 + 66
-    rng = np.random.default_rng(42)
-    W = rng.standard_normal((width, n_tags)).astype("float32")
-    trans = rng.standard_normal((n_tags, n_tags))
+    emb_dim, S = 8, len(vocab)
+    width = emb_dim + (S + 3) + 66
+    W = np.zeros((width, n_tags), dtype=np.float32)
+    # md5-chain head over the one-hot block: shape rows (incl. the unknown
+    # column at emb+S), BOS and EOS; embedding + pos/dep rows stay zero so
+    # the matmul's nonzero terms are a handful of exact dyadics
+    for r in list(range(emb_dim, emb_dim + S + 1)) + [
+        emb_dim + S + 1,
+        emb_dim + S + 2,
+    ]:
+        for t in range(n_tags):
+            W[r, t] = _md5_dyadic(f"w:{r}:{t}")
+    trans = np.asarray(_md5_head_transitions(n_tags), dtype=np.float64)
     return predict_entities(out, classes, W, trans)
 
 

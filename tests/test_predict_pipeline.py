@@ -76,3 +76,27 @@ def test_predict_recovers_gold_labels(featurized, spark):
         assert spans == want
         checked += 1
     assert checked > 5
+
+
+def test_md5_dyadic_head_matches_duckdb_formula():
+    """predict_entities' md5-chain head: the Python weight formula and the
+    DuckDB expression embedded in the oracle SQL must agree exactly, and
+    every value must be an exact float32 dyadic (k/256 in [-16, 16))."""
+    import importlib
+
+    import duckdb
+    import numpy as np
+
+    entry = importlib.import_module("__spark_entry__")
+    con = duckdb.connect()
+    keys = [f"w:{r}:{t}" for r in (8, 9, 40, 77) for t in range(7)]
+    keys += [f"t:{i}:{j}" for i in range(7) for j in range(7)]
+    for k in keys:
+        py = entry._md5_dyadic(k)
+        sql = con.execute(
+            "SELECT ((CAST(('0x' || substr(md5(?), 1, 8)) AS BIGINT) % 8192)"
+            " - 4096) / 256.0"
+        , [k]).fetchone()[0]
+        assert py == sql, k
+        assert float(np.float32(py)) == py, k
+        assert -16.0 <= py < 16.0 and (py * 256) == int(py * 256), k
