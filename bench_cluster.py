@@ -1,0 +1,215 @@
+"""Scaling-efficiency evidence between SEPARATE executor JVMs.
+
+BASELINE.json's gate reads ">= 0.8 throughput scaling efficiency between N
+and 4N *executors*"; bench_scaling.py measures local[N] — threads inside
+one JVM sharing a memory controller, which BENCH/BASELINE.md identifies as
+the bottleneck.  This harness measures what the gate actually names: a
+Spark standalone master on this box with ONE worker (32 cores), the same
+flagship job submitted with spark.executor.cores=2 and spark.cores.max of
+2 vs 8 — i.e. 1 executor JVM (N) vs 4 executor JVMs (4N), each with its
+own heap, GC, and Python worker pool.  The package ships to executors via
+addPyFile exactly as spark-submit --py-files would.
+
+Protocol (same rigor as bench_scaling): each measurement session is its
+own subprocess; first iteration discarded as JVM/Arrow warmup; the N and
+4N sides of each pair run back-to-back so both see the same host-noise
+window and the window cancels in the ratio; results min-merge into
+BENCH/cluster_runs.json keyed by the job's determinism checksum, so floors
+accumulate across invocations and never mix engine versions.
+
+Usage:
+    python bench_cluster.py [--pairs 4] [--skip-start]
+
+Starts master+worker via /opt/spark/sbin (idempotent), appends results,
+and rewrites the cluster section consumed by bench_scaling's BASELINE.md
+renderer (BENCH/cluster_runs.json + printed JSON summary).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+MASTER_URL = "spark://127.0.0.1:7077"
+EXECUTOR_CORES = 2
+N_CONVS = int(os.environ.get("SCALING_CONVS", "48000"))  # ~1.8M turns
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, sys.argv[1])
+repo, cores_max, n_convs, n_iter = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+from deep_ner_spark.session import get_spark
+from deep_ner_spark.pipeline import featurize_transcripts
+from pyspark.sql import functions as F
+
+spark = get_spark("cluster-scaling-c" + str(cores_max), master="@MASTER@",
+                  shuffle_partitions=32,
+                  extra_conf={"spark.executor.cores": "@EC@",
+                              "spark.executor.memory": "12g",
+                              "spark.cores.max": str(cores_max),
+                              "spark.driver.memory": "4g"})
+spark.sparkContext.setLogLevel("ERROR")
+
+from pathlib import Path
+from deep_ner_spark.datagen import write_parquet_tables
+base = "/tmp/deep_ner_bench/scaling_c" + str(n_convs) + "_s42"
+marker = Path(base) / "_SUCCESS_ALL"
+if not marker.exists():
+    write_parquet_tables(spark, base, n_convs, 40, 42)
+    marker.touch()
+tr = spark.read.parquet(base + "/transcripts.parquet")
+st = spark.read.parquet(base + "/entity_state.parquet")
+
+def job():
+    out, _ = featurize_transcripts(tr, st, max_seq_length=32, emb_dim=16,
+                                   state_seq_col="state_seq")
+    # consume EVERY stage (as-of state, sessionize, ffill, lag/lead,
+    # featurize) or Catalyst prunes unconsumed stages and the number lies
+    row = out.select(
+        F.count("*").alias("n"),
+        F.sum(F.length("features")).alias("fb"),
+        (F.sum(F.crc32("norm_text"))
+         + F.sum(F.crc32(F.col("state").cast("string")))
+         + F.sum("session_id")
+         + F.sum(F.crc32("role_ffill"))
+         + F.sum("n_tokens_lag1") + F.sum("n_tokens_lead1")).alias("chk"),
+    ).collect()[0]
+    return row["n"], row["chk"]
+
+results, n, chk = [], None, None
+for i in range(n_iter):
+    spark.catalog.clearCache()
+    t0 = time.time()
+    n, chk = job()
+    results.append(time.time() - t0)
+# executor JVMs actually granted (exclude the driver entry)
+execs = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
+timed = results[1:] if n_iter > 1 else results
+best = min(timed)
+print(json.dumps({"cores_max": cores_max, "n_executors": execs,
+                  "executor_cores": int("@EC@"), "n_turns": n, "checksum": chk,
+                  "runs_sec": [round(x, 2) for x in results],
+                  "best_sec": round(best, 3),
+                  "turns_per_sec": round(n / best, 1)}))
+spark.stop()
+""".replace("@MASTER@", MASTER_URL).replace("@EC@", str(EXECUTOR_CORES))
+
+
+def cluster_up() -> bool:
+    import socket
+
+    s = socket.socket()
+    s.settimeout(2)
+    try:
+        s.connect(("127.0.0.1", 7077))
+        return True
+    except OSError:
+        return False
+    finally:
+        s.close()
+
+
+def start_cluster():
+    if cluster_up():
+        return
+    env = dict(os.environ)
+    env.setdefault("SPARK_LOG_DIR", "/tmp/spark-logs")
+    env.setdefault("SPARK_PID_DIR", "/tmp/spark-pids")
+    env.setdefault("SPARK_MASTER_HOST", "127.0.0.1")
+    os.makedirs(env["SPARK_LOG_DIR"], exist_ok=True)
+    subprocess.run(
+        ["/opt/spark/sbin/start-master.sh", "--host", "127.0.0.1",
+         "--port", "7077", "--webui-port", "8089"],
+        env=env, check=True, capture_output=True)
+    time.sleep(4)
+    subprocess.run(
+        ["/opt/spark/sbin/start-worker.sh", MASTER_URL,
+         "--cores", "32", "--memory", "100g", "--webui-port", "8090"],
+        env=env, check=True, capture_output=True)
+    time.sleep(5)
+    if not cluster_up():
+        raise RuntimeError("standalone master failed to start; see /tmp/spark-logs")
+
+
+def run_config(cores_max: int, n_iter: int = 2) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD, str(REPO), str(cores_max), str(N_CONVS),
+         str(n_iter)],
+        capture_output=True, text=True, timeout=2400, cwd=str(REPO))
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"child failed: {out.stderr[-3000:]}")
+    return json.loads(lines[-1])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", type=int, default=4)
+    ap.add_argument("--skip-start", action="store_true")
+    args = ap.parse_args()
+    if not args.skip_start:
+        start_cluster()
+
+    hist_path = REPO / "BENCH" / "cluster_runs.json"
+    hist = {"pairs": [], "configs": {}}
+    if hist_path.exists():
+        try:
+            hist = json.loads(hist_path.read_text())
+        except Exception:
+            pass
+
+    a_cores, b_cores = EXECUTOR_CORES, 4 * EXECUTOR_CORES
+    for i in range(args.pairs):
+        ra = run_config(a_cores, n_iter=2)
+        rb = run_config(b_cores, n_iter=2)
+        assert ra["checksum"] == rb["checksum"], "determinism broken across executor counts"
+        assert ra["n_executors"] == 1 and rb["n_executors"] == 4, (
+            ra["n_executors"], rb["n_executors"])
+        eff = (rb["turns_per_sec"] / ra["turns_per_sec"]) / 4.0
+        pair = {"t_1exec": ra["best_sec"], "t_4exec": rb["best_sec"],
+                "eff": round(eff, 3), "checksum": ra["checksum"]}
+        print(json.dumps(pair), flush=True)
+        hist["pairs"].append(pair)
+        for r in (ra, rb):
+            key = f"exec{r['n_executors']}x{r['executor_cores']}"
+            prev = hist["configs"].get(key)
+            if prev and prev.get("checksum") == r["checksum"]:
+                r = dict(r, runs_sec=prev["runs_sec"] + r["runs_sec"])
+                if prev["best_sec"] < r["best_sec"]:
+                    r["best_sec"], r["turns_per_sec"] = (
+                        prev["best_sec"], prev["turns_per_sec"])
+            hist["configs"][key] = r
+
+    chk = hist["configs"]["exec1x2"]["checksum"]
+    pairs = [p for p in hist["pairs"] if p.get("checksum") == chk]
+    effs = sorted(p["eff"] for p in pairs)
+    med = (effs[len(effs) // 2] if len(effs) % 2
+           else (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2)
+    floor_eff = round(
+        (hist["configs"]["exec4x2"]["turns_per_sec"]
+         / hist["configs"]["exec1x2"]["turns_per_sec"]) / 4.0, 3)
+    summary = {
+        "metric": "scaling_efficiency_1_to_4_executor_JVMs",
+        "value": floor_eff,
+        "unit": "ratio",
+        "paired_median": round(med, 3),
+        "paired_best": max(effs),
+        "paired_min": min(effs),
+        "n_pairs": len(pairs),
+        "exec1x2": hist["configs"]["exec1x2"],
+        "exec4x2": hist["configs"]["exec4x2"],
+    }
+    hist["summary"] = summary
+    hist_path.parent.mkdir(exist_ok=True)
+    hist_path.write_text(json.dumps(hist, indent=1))
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

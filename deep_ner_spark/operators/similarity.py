@@ -185,7 +185,10 @@ def ivf_cosine_topk(
     top-k REGARDLESS of the codebook (every list probed) — the property the
     driver oracle checks.  Same output schema as cosine_topk.
     """
-    # orderBy(id) keeps the seed codebook deterministic (lowest-id vectors)
+    # orderBy(id) keeps the seed codebook deterministic (lowest-id vectors).
+    # NOT a full sort at corpus scale: Catalyst rewrites orderBy + the
+    # limit(n_lists) inside fit_ivf_codebook into TakeOrderedAndProject —
+    # per-partition top-k then a driver merge of k rows, no sort exchange.
     cents = [
         (i, c)
         for i, c in enumerate(
@@ -248,6 +251,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 8,
     seed: int = 42,
     materialize: bool = True,
+    occupancy_guard: int | None = 200_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup family, brief item).
 
@@ -257,6 +261,16 @@ def embedding_near_dup_pairs(
     Output: (id_a, id_b, cosine), id_a < id_b.  ``materialize`` computes
     the n_planes dot-product bucket projection once instead of once per
     self-join side (localCheckpoint; GC-freed).
+
+    ``occupancy_guard``: the bucket-local self-join is O(sum_i b_i^2), so
+    it stops being subquadratic once buckets outgrow 2^n_planes' ability to
+    spread the corpus (n_planes must grow like log2(N / target_bucket)).
+    Before building pairs, one cheap agg over the (already materialized)
+    slim (id, bucket) projection checks the largest bucket; if it exceeds
+    the guard the call raises with the n_planes value that would bound
+    buckets near ``occupancy_guard`` — the same keep-it-subquadratic role
+    the prefix-membership bound plays in jaccard_pairs.  Pass ``None`` to
+    skip the check (and its Spark job) when the corpus size is known.
     """
     planes = _hyperplanes(dim, n_planes, seed)
     b = lsh_bucket_col(F.col(vec_col), planes)
@@ -268,6 +282,28 @@ def embedding_near_dup_pairs(
             tagged = tagged.localCheckpoint(eager=False)
         except Exception:
             pass  # session without localCheckpoint: recompute per side
+    if occupancy_guard:
+        occ = (
+            tagged.groupBy("__bucket")
+            .count()
+            .agg(F.max("count").alias("mx"), F.sum("count").alias("n"))
+            .first()
+        )
+        biggest, total = int(occ["mx"] or 0), int(occ["n"] or 0)
+        if biggest > occupancy_guard:
+            import math
+
+            want = n_planes + max(
+                1, math.ceil(math.log2(biggest / occupancy_guard))
+            )
+            raise ValueError(
+                f"embedding_near_dup_pairs: largest LSH bucket holds "
+                f"{biggest} of {total} rows (> occupancy_guard="
+                f"{occupancy_guard}); the bucket-local self-join would be "
+                f"effectively quadratic.  Raise n_planes to ~{want} "
+                f"(planes should grow like log2(N/target_bucket_size)), or "
+                f"raise/disable occupancy_guard if the blow-up is intended."
+            )
     a = tagged.alias("a")
     c = tagged.alias("b")
     pairs = (

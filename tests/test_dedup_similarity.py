@@ -222,3 +222,26 @@ def test_jaccard_prefix_exact_at_all_thresholds(spark):
 
         p, nv = pairs("prefix"), pairs("naive")
         assert p == nv, f"threshold {t}: prefix {len(p)} pairs != naive {len(nv)}"
+
+
+def test_embedding_near_dup_occupancy_guard(spark):
+    """A skewed corpus (every vector in one LSH bucket) with default-shaped
+    params must raise with n_planes guidance instead of silently running an
+    effectively quadratic bucket-local self-join; disabling the guard (or a
+    loose enough bound) still returns correct pairs."""
+    from deep_ner_spark.operators.similarity import embedding_near_dup_pairs
+
+    vecs = [[1.0] + [0.0] * 15] * 40  # identical vectors -> one bucket
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(40), "embedding": vecs})
+    )
+    with pytest.raises(ValueError) as ei:
+        embedding_near_dup_pairs(emb, 16, occupancy_guard=10)
+    msg = str(ei.value)
+    assert "n_planes" in msg and "log2" in msg and "40" in msg
+
+    pairs = embedding_near_dup_pairs(emb, 16, occupancy_guard=None)
+    assert pairs.count() == 40 * 39 // 2  # all-pairs of exact duplicates
+
+    ok = embedding_near_dup_pairs(emb, 16, occupancy_guard=10_000)
+    assert ok.count() == 40 * 39 // 2

@@ -326,3 +326,27 @@ def test_split_threshold_hex_twin_matches_library():
 
     for frac in (0.0, 0.1, 0.25, 1 / 3, 0.5, 0.625, 0.75, 0.9, 1.0):
         assert entry._split_threshold_hex(frac) == md5_threshold_hex(frac), frac
+
+
+def test_viterbi_batch_bitexact_vs_per_sequence():
+    """viterbi_decode_batch (one shared t-loop across same-length sequences)
+    must be BIT-identical to the per-sequence DP — including argmax
+    tie-breaks — on ties, negatives, singletons, and long sequences."""
+    from deep_ner_spark.operators.viterbi import (
+        viterbi_decode,
+        viterbi_decode_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    k = 5
+    trans = rng.standard_normal((k, k))
+    trans[0, :] = trans[1, :]  # force tie-prone transitions
+    for seq_len in (1, 2, 3, 17, 64):
+        batch = rng.standard_normal((9, seq_len, k))
+        batch[3] = np.round(batch[3])  # integral logits -> frequent ties
+        batch[4] = 0.0                 # all-tie: pins first-max tie-break
+        got = viterbi_decode_batch(batch, trans)
+        assert got.shape == (9, seq_len)
+        for i in range(9):
+            ref = viterbi_decode(batch[i], trans)
+            assert got[i].tolist() == ref.tolist(), (seq_len, i)

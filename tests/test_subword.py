@@ -102,3 +102,94 @@ def test_wordpiece_published_edge_cases():
     assert textfns.wordpiece_tokenize("", vocab) == []
     # continuation prefix is never matched at word start
     assert textfns.wordpiece_tokenize("bc", frozenset(["##bc"])) == ["[UNK]"]
+
+
+# --- UDF-3 WordPiece: frozen-vocab fixture goldens ---------------------------
+
+from pathlib import Path
+
+_VOCAB_FIXTURE = Path(__file__).parent / "fixtures" / "wordpiece_vocab_1k.txt"
+
+
+def _load_vocab():
+    return frozenset(
+        w for w in _VOCAB_FIXTURE.read_text().split("\n") if w
+    )
+
+
+def _published_wordpiece(token, vocab, max_chars=200):
+    """Independent transcription of the published BERT WordpieceTokenizer
+    loop (google-research/bert tokenization.py, Apache-2.0; the reference
+    delegates to it at bert_ner.py:731-771): chars-list greedy
+    longest-match-first with an is_bad whole-word bail-out.  Differential
+    twin for textfns.wordpiece_tokenize, which is written stem-first on the
+    string instead."""
+    chars = list(token)
+    if len(chars) > max_chars:
+        return ["[UNK]"]
+    is_bad, start, sub_tokens = False, 0, []
+    while start < len(chars):
+        end, cur = len(chars), None
+        while start < end:
+            substr = "".join(chars[start:end])
+            if start > 0:
+                substr = "##" + substr
+            if substr in vocab:
+                cur = substr
+                break
+            end -= 1
+        if cur is None:
+            is_bad = True
+            break
+        sub_tokens.append(cur)
+        start = end
+    return ["[UNK]"] if is_bad else sub_tokens
+
+
+def test_wordpiece_fixture_goldens():
+    """Frozen ~1k-entry vocab fixture + hard-coded golden piece sequences
+    (derived once from the published algorithm, then frozen here) — UDF-3's
+    fixture-golden check.  Covers whole-word hits, suffix continuations,
+    char-level fallback chains, digits, and single chars."""
+    vocab = _load_vocab()
+    goldens = {
+        "unaffable": ["unaffable"],
+        "running": ["running"],
+        "tokenizer": ["tokenizer"],
+        "transformer": ["transformer"],
+        "jumped": ["jumped"],
+        "helpfulness": ["help", "##ful", "##ness"],
+        "playfully": ["play", "##ful", "##ly"],
+        "states": ["state", "##s"],
+        "tokenization": ["token", "##i", "##z", "##ation"],
+        "preprocess": ["pre", "##p", "##r", "##o", "##c", "##es", "##s"],
+        "zzzq": ["z", "##z", "##z", "##q"],
+        "unhappiness": ["un", "##h", "##a", "##p", "##p", "##i", "##ness"],
+        "misunderstanding": ["mis", "##u", "##n", "##d", "##ers", "##t",
+                             "##a", "##n", "##d", "##ing"],
+        "7": ["7"],
+        "42": ["4", "##2"],
+        "a": ["a"],
+        "qx": ["q", "##x"],
+        "Σ": ["[UNK]"],  # off-alphabet char: no piece, whole word bails out
+    }
+    for word, expect in goldens.items():
+        assert textfns.wordpiece_tokenize(word, vocab) == expect, word
+
+
+def test_wordpiece_differential_vs_published_algorithm():
+    """textfns.wordpiece_tokenize == the published-loop transcription on a
+    seeded sweep of random words over the fixture alphabet (incl. lengths
+    straddling max_chars), not just the hand-picked goldens."""
+    import random
+
+    vocab = _load_vocab()
+    rng = random.Random(42)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789.'-Σ"
+    words = ["".join(rng.choice(alphabet) for _ in range(rng.randint(1, 30)))
+             for _ in range(400)]
+    words += ["x" * n for n in (199, 200, 201)]
+    for w in words:
+        assert textfns.wordpiece_tokenize(w, vocab) == _published_wordpiece(
+            w, vocab
+        ), w
