@@ -1343,14 +1343,14 @@ def q_stratified_split(spark, sf_dir):
     return assign.select("sample_id", "is_test")
 
 
-def _lsh_planes_sql():
-    """DuckDB twins of similarity._hyperplanes(64, 6, 42) + lsh_bucket_col +
-    cosine_col, bit-exact: the plane values are embedded as double literals
-    (Spark lifts each float32 plane entry to an exact double literal too);
-    Spark's zip_with float*double products and the float*float norm/dot
-    products (f32-rounded, double-accumulated) are mirrored by the CAST
-    placement, and DuckDB's list_reduce left fold equals Spark's aggregate
-    fold because 0.0 + x == x."""
+def _lsh_plane_dots_sql():
+    """Per-plane dot expressions over column ``embedding`` — DuckDB twins of
+    the dots inside similarity.lsh_bucket_col / lsh_probe_buckets_col for
+    _hyperplanes(64, 6, 42), bit-exact: the plane values are embedded as
+    double literals (Spark lifts each float32 plane entry to an exact double
+    literal too); Spark's zip_with float*double products are mirrored by the
+    CAST placement, and DuckDB's list_reduce left fold equals Spark's
+    aggregate fold because 0.0 + x == x."""
     import numpy as np
 
     planes = np.random.default_rng(42).standard_normal((6, 64)).astype("float32")
@@ -1358,13 +1358,19 @@ def _lsh_planes_sql():
     def lit(p):
         return "[" + ",".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
 
-    parts = [
-        "CASE WHEN list_reduce(list_transform(list_zip(embedding, "
+    return [
+        "list_reduce(list_transform(list_zip(embedding, "
         + lit(p)
-        + "), p -> CAST(p[1] AS DOUBLE) * p[2]), (x,y) -> x + y) > 0 THEN "
-        + str(1 << i)
-        + " ELSE 0 END"
-        for i, p in enumerate(planes)
+        + "), p -> CAST(p[1] AS DOUBLE) * p[2]), (x,y) -> x + y)"
+        for p in planes
+    ]
+
+
+def _lsh_planes_sql():
+    """Sign-bit bucket from the per-plane dots (twin of lsh_bucket_col)."""
+    parts = [
+        f"CASE WHEN {d} > 0 THEN {1 << i} ELSE 0 END"
+        for i, d in enumerate(_lsh_plane_dots_sql())
     ]
     return "(" + " + ".join(parts) + ")"
 
@@ -1433,6 +1439,91 @@ def q_ann_recall_lsh(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     approx = lsh_cosine_topk(emb, queries, 64, "vec_id", "embedding", k=3, n_planes=6)
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", k=3)
+    hit = approx.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("n_hits"),
+            F.count("*").cast("int").alias("n_exact"),
+        )
+    )
+
+
+def _lsh_multiprobe_sql(n_probe: int) -> str:
+    """Multi-probe twin of similarity.lsh_probe_buckets_col: base sign-bit
+    bucket plus the ``n_probe - 1`` single-bit flips at the planes with the
+    smallest |dot| margin (ties by plane index == by flip value, since
+    1 << i is monotone in i) — the probe CTE yields one (query, bucket) row
+    per probe, the data side keeps exactly one bucket per vector, so each
+    candidate pair matches via at most one probe and needs no dedup."""
+    dots = _lsh_plane_dots_sql()
+    d_cols = ", ".join(f"{d} AS d{i}" for i, d in enumerate(dots))
+    base = " + ".join(
+        f"CASE WHEN d{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(len(dots))
+    )
+    margin_structs = ", ".join(
+        f"{{'am': abs(d{i}), 'flip': {1 << i}}}" for i in range(len(dots))
+    )
+    return f"""
+    q0 AS (SELECT vec_id AS query_id, embedding AS qv, {d_cols}
+           FROM embeddings WHERE vec_id < 5),
+    qb AS (SELECT query_id, qv, ({base}) AS base FROM q0),
+    dd AS (SELECT query_id, unnest([{margin_structs}]) AS s FROM q0),
+    fl AS (SELECT query_id, s.flip AS flip,
+                  row_number() OVER (PARTITION BY query_id ORDER BY s.am, s.flip) AS rn
+           FROM dd),
+    probe AS (
+      SELECT query_id, qv, base AS bucket FROM qb
+      UNION ALL
+      SELECT qb.query_id, qb.qv, xor(qb.base, fl.flip) AS bucket
+      FROM qb JOIN fl USING (query_id) WHERE fl.rn <= {n_probe - 1}),
+    b AS (SELECT vec_id AS neighbor_id, embedding AS dv, {_lsh_planes_sql()} AS bucket
+          FROM embeddings),
+    s AS (SELECT query_id, neighbor_id, {_COS_EXACT_SQL} AS cos
+          FROM probe JOIN b USING (bucket) WHERE query_id <> neighbor_id),
+    ap AS (SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+           FROM s)
+    """
+
+
+@_q(
+    "ann_recall_multiprobe",
+    f"""
+    WITH {_lsh_multiprobe_sql(3)},
+    q2 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    d2 AS (SELECT vec_id AS neighbor_id, embedding AS dv FROM embeddings),
+    es AS (SELECT query_id, neighbor_id, {_COS_EXACT_SQL} AS cos
+           FROM q2, d2 WHERE query_id <> neighbor_id),
+    ex AS (SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+           FROM es)
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS INT) AS n_hits,
+           CAST(count(*) AS INT) AS n_exact
+    FROM (SELECT * FROM ex WHERE rnk <= 3) e
+    LEFT JOIN (SELECT * FROM ap WHERE rnk <= 3) a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY 1
+    """,
+)
+def q_ann_recall_multiprobe(spark, sf_dir):
+    """Recall@k of MULTI-PROBE LSH ANN (3 probe buckets: the base bucket
+    plus the two lowest-|margin| single-bit flips) vs the exact top-k —
+    the DuckDB twin recomputes buckets, margin-ordered flips, candidate
+    ranking, and the recall join end-to-end.  Paired with ann_recall_lsh
+    (single probe, same planes) this puts the probes→recall curve inside
+    the hash-checked contract; the strictly-rising property is pinned in
+    tests/test_dedup_similarity.py::test_lsh_multiprobe_recall_rises."""
+    from deep_ner_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    approx = lsh_cosine_topk(
+        emb, queries, 64, "vec_id", "embedding", k=3, n_planes=6, n_probe_buckets=3
+    )
     exact = cosine_topk(emb, queries, "vec_id", "embedding", k=3)
     hit = approx.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     return (

@@ -19,13 +19,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from deep_ner_spark.compat import CONNECT_ERRS
+
 
 def _local_ckpt(frame: DataFrame) -> DataFrame:
     """localCheckpoint if the session supports it, else the frame as-is
-    (self-join sides then recompute — slower, never wrong)."""
+    (self-join sides then recompute — slower, never wrong).  Only the
+    Connect unsupported-surface exceptions are downgraded; a genuine
+    checkpoint failure (disk full, dead executors) still raises."""
     try:
         return frame.localCheckpoint(eager=False)
-    except Exception:
+    except CONNECT_ERRS:
         return frame
 
 
@@ -97,7 +101,7 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
         sc = df.sparkSession.sparkContext
         if docs.rdd.getNumPartitions() < sc.defaultParallelism:
             docs = docs.repartition(sc.defaultParallelism)
-    except Exception:
+    except CONNECT_ERRS:
         pass
     base = docs.select(
         F.col(id_col), shingles_col(F.col("__text"), n).alias("__sh")
@@ -189,19 +193,23 @@ def jaccard_pairs(
             .distinct()
         )
         # exact verification: JVM array_intersect on the two shingle arrays.
-        # Shingle ONLY candidate docs: join ids first, project the array
-        # after the join, so the corpus is never re-shingled for this step
-        # (candidates << corpus at any useful threshold).
+        # The arrays are REBUILT from the already-materialized long form
+        # ``sh`` (semi-join on candidate ids, then collect_list) — the
+        # shingle HOF chain is never re-evaluated and the corpus text is
+        # never re-scanned for this step (the HOF chain dominates the
+        # shingle stage ~4-8x, and candidates << corpus at any useful
+        # threshold; shingle sets are distinct by construction, so
+        # collect_list reconstructs the set and order is irrelevant to
+        # array_intersect).
         cand_ids = (
             cand.select(F.col("id_a").alias(id_col))
             .union(cand.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
         cand_arrays = _mat(
-            df.select(F.col(id_col), F.col(text_col).alias("__text"))
-            .join(cand_ids, id_col)
-            .select(F.col(id_col), shingles_col(F.col("__text"), n).alias("__sh"))
-            .select(id_col, "__sh", F.size("__sh").alias("size"))
+            sh.join(cand_ids, id_col)
+            .groupBy(id_col, "size")
+            .agg(F.collect_list("shingle").alias("__sh"))
         )
         arr_a = cand_arrays.select(
             F.col(id_col).alias("id_a"),

@@ -13,6 +13,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from deep_ner_spark.compat import CONNECT_ERRS
+
 
 def dot_col(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -86,6 +88,46 @@ def lsh_bucket_col(vec: Column, planes) -> Column:
     return bucket
 
 
+def lsh_probe_buckets_col(vec: Column, planes, n_probe_buckets: int = 1) -> Column:
+    """Multi-probe bucket list: the sign-bit bucket first, then the
+    ``n_probe_buckets - 1`` single-bit flips at the planes with the smallest
+    absolute margin |dot(vec, plane)| — the standard multi-probe LSH
+    construction (a vector near a hyperplane is the one whose neighbors
+    plausibly sit on the other side, so those bits are flipped first).
+
+    Ties in |margin| break by plane index (struct field order in
+    ``array_sort``), so the probe sequence is deterministic.  All probe
+    buckets are distinct by construction (base + distinct single-bit
+    flips), so downstream candidate sets need no dedup.  With
+    ``n_probe_buckets <= 1`` (or no planes) this is the single-element
+    base-bucket array.
+    """
+    dots = [
+        dot_col(vec, F.array(*[F.lit(float(x)) for x in p])) for p in planes
+    ]
+    bucket = F.lit(0).cast("long")
+    for i, d in enumerate(dots):
+        bucket = bucket + F.shiftleft((d > 0).cast("long"), i)
+    if n_probe_buckets <= 1 or not len(planes):
+        return F.array(bucket)
+    margins = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(d).alias("am"),
+                    F.lit(1 << i).cast("long").alias("flip"),
+                )
+                for i, d in enumerate(dots)
+            ]
+        )
+    )
+    flips = F.slice(margins, 1, n_probe_buckets - 1)
+    return F.concat(
+        F.array(bucket),
+        F.transform(flips, lambda s: bucket.bitwiseXOR(s["flip"])),
+    )
+
+
 def fit_ivf_codebook(
     data: DataFrame,
     vec_col: str = "embedding",
@@ -122,8 +164,8 @@ def fit_ivf_codebook(
     )
     try:
         sample = sample.localCheckpoint(eager=False)  # reused every iteration
-    except Exception:
-        pass
+    except CONNECT_ERRS:
+        pass  # Connect session: recompute the sample per iteration
     cents = [list(r[0]) for r in sample.limit(n_lists).collect()]
     if len(cents) < n_lists:
         raise ValueError(f"not enough vectors ({len(cents)}) for {n_lists} lists")
@@ -269,8 +311,13 @@ def embedding_near_dup_pairs(
     slim (id, bucket) projection checks the largest bucket; if it exceeds
     the guard the call raises with the n_planes value that would bound
     buckets near ``occupancy_guard`` — the same keep-it-subquadratic role
-    the prefix-membership bound plays in jaccard_pairs.  Pass ``None`` to
-    skip the check (and its Spark job) when the corpus size is known.
+    the prefix-membership bound plays in jaccard_pairs.  NOTE: the check is
+    an EAGER Spark job at call time (this function is otherwise a lazy plan
+    builder), and with ``materialize=False`` — or a session without
+    localCheckpoint — it costs one extra evaluation of the bucket
+    projection.  Pass ``None`` to skip the check (and its job) when the
+    corpus size is known; any other non-positive value is rejected rather
+    than silently disabling the guard.
     """
     planes = _hyperplanes(dim, n_planes, seed)
     b = lsh_bucket_col(F.col(vec_col), planes)
@@ -280,9 +327,15 @@ def embedding_near_dup_pairs(
     if materialize:
         try:
             tagged = tagged.localCheckpoint(eager=False)
-        except Exception:
+        except CONNECT_ERRS:
             pass  # session without localCheckpoint: recompute per side
-    if occupancy_guard:
+    if occupancy_guard is not None:
+        if occupancy_guard <= 0:
+            raise ValueError(
+                "occupancy_guard must be a positive bucket-size bound, or "
+                "None to skip the check (0 would previously disable it "
+                "silently — be explicit)"
+            )
         occ = (
             tagged.groupBy("__bucket")
             .count()
@@ -329,12 +382,21 @@ def lsh_cosine_topk(
     n_planes: int = 8,
     seed: int = 42,
     include_self: bool = False,
+    n_probe_buckets: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's hyperplane bucket.
+    """Approximate top-k: candidates share one of the query's probe buckets.
 
-    At 100TB the full scan per query is off the table; this probes one
-    bucket (recall tunes via n_planes; multi-probe = union over neighboring
-    buckets).  Same output schema as cosine_topk.
+    At 100TB the full scan per query is off the table; this probes the
+    query's own hyperplane bucket plus, with ``n_probe_buckets > 1``, the
+    standard multi-probe extension — the single-bit-flip neighbor buckets
+    at the planes with the smallest |margin| (see
+    :func:`lsh_probe_buckets_col`).  Multi-probe raises recall for
+    borderline vectors WITHOUT re-bucketing the corpus: the data side still
+    carries exactly one bucket per vector, only the (tiny, broadcast) query
+    side fans out, so the probe cost scales with
+    ``n_probe_buckets / 2^n_planes`` of the corpus per query.  Recall tunes
+    via n_planes (bucket granularity) x n_probe_buckets (probe width).
+    Same output schema as cosine_topk.
     """
     planes = _hyperplanes(dim, n_planes, seed)
     d = data.select(
@@ -346,7 +408,9 @@ def lsh_cosine_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qv"),
-            lsh_bucket_col(F.col(vec_col), planes).alias("__bucket"),
+            F.explode(
+                lsh_probe_buckets_col(F.col(vec_col), planes, n_probe_buckets)
+            ).alias("__bucket"),
         )
     )
     pairs = q.join(d, on="__bucket")

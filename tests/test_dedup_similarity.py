@@ -85,6 +85,57 @@ def test_cosine_topk_exact_and_lsh_recall(spark):
     assert approx and approx[0]["neighbor_id"] == 1
 
 
+def test_lsh_multiprobe_recall_rises(spark):
+    """Multi-probe LSH: probing the lowest-|margin| single-bit-flip buckets
+    strictly raises recall@k over the single-bucket probe on a seeded
+    corpus, and never lowers it (probe sets are nested by construction)."""
+    from deep_ner_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((60, 16)).astype("float32")
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(60), "embedding": [list(map(float, v)) for v in base]})
+    )
+    q = emb.where(F.col("vec_id") < 8)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, q, k=3).collect()}
+    hits = {}
+    for probes in (1, 2, 4):
+        ap = {(r["query_id"], r["neighbor_id"]) for r in
+              lsh_cosine_topk(emb, q, 16, k=3, n_planes=4,
+                              n_probe_buckets=probes).collect()}
+        hits[probes] = len(exact & ap)
+    # pinned on seed 7: 6 -> 10 -> 14 of 24
+    assert hits[1] < hits[2] < hits[4]
+    assert (hits[1], hits[2], hits[4]) == (6, 10, 14)
+
+
+def test_lsh_multiprobe_bucket_list(spark):
+    """The probe-bucket column itself: first element is the base bucket,
+    all probes are distinct, and the flip order follows |margin| ascending."""
+    import pyspark.sql.types as T
+
+    from deep_ner_spark.operators.similarity import (
+        lsh_bucket_col,
+        lsh_probe_buckets_col,
+    )
+
+    planes = [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]
+    df = spark.createDataFrame(
+        pd.DataFrame({"embedding": [[2.0, -0.25]]}),
+        schema=T.StructType([T.StructField("embedding", T.ArrayType(T.DoubleType()))]),
+    )
+    row = df.select(
+        lsh_bucket_col(F.col("embedding"), planes).alias("base"),
+        lsh_probe_buckets_col(F.col("embedding"), planes, 4).alias("probes"),
+    ).collect()[0]
+    # dots: plane0 = 2.0 (bit0 set), plane1 = -0.25 (bit1 clear),
+    # plane2 = 1.75 (bit2 set) -> base = 0b101 = 5; |margin| order: 1, 2, 0
+    assert row["base"] == 5
+    assert row["probes"][0] == row["base"]
+    assert row["probes"] == [5, 5 ^ 2, 5 ^ 4, 5 ^ 1]
+    assert len(set(row["probes"])) == len(row["probes"])
+
+
 def test_textstats(docs, spark):
     from deep_ner_spark.operators.textstats import (
         doc_fingerprint,
