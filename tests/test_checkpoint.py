@@ -29,7 +29,7 @@ def test_checksum_invariant_to_partitioning(tdf, spark):
 
 
 def test_resumable_backfill_skips_completed(tdf, spark):
-    units = [f"conv{0:05d}"[:-1] + str(i) for i in range(4)]  # conv00000..3
+    units = [f"conv{i:07d}" for i in range(4)]  # real datagen conv ids
     calls = []
 
     def run_unit(u):
@@ -53,12 +53,90 @@ def test_resumable_backfill_skips_completed(tdf, spark):
         assert set(lineage) == set(units)
         for u in units:
             n = spark.read.parquet(f"{d}/out/__unit={u}").count()
-            assert lineage[u]["row_count"] == n
+            assert n > 0 and lineage[u]["row_count"] == n
         # a different run_id re-executes everything (idempotent overwrite)
         done3 = resumable_backfill(
             spark, units[:1], run_unit, f"{d}/out", ckpt, "run2", ["text"], "ts"
         )
         assert done3 == units[:1]
+
+
+def test_resumable_backfill_survives_driver_death(tdf, spark, tmp_path):
+    """Fault injection for the north_star mid-backfill scenario: a REAL
+    driver process is hard-killed (os._exit, no cleanup, JVM dies) after
+    unit 2's parquet data is written but BEFORE its lineage record lands —
+    the worst-case window, leaving orphan data with no checkpoint.  The
+    resumed run (fresh session, state only from the checkpoint table +
+    output dir) must re-do exactly the unfinished units, overwrite the
+    orphan idempotently, and produce output and lineage metrics identical
+    to an unbroken run."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    d = str(tmp_path / "crash")
+    units = [f"conv{i:07d}" for i in range(4)]
+    script = textwrap.dedent(
+        """
+        import os, sys
+        sys.path.insert(0, %(repo)r)
+        from pyspark.sql import functions as F
+        from deep_ner_spark.session import get_spark
+        from deep_ner_spark import datagen
+        from deep_ner_spark.plans.checkpoint import CheckpointTable, resumable_backfill
+
+        spark = get_spark("crashdrv", master="local[2]", shuffle_partitions=2)
+        t, _, _ = datagen.gen_transcripts(n_convs=8, mean_turns=6, seed=5)
+        tdf = spark.createDataFrame(t)
+        units = %(units)r
+        d = %(dir)r
+
+        class DyingCheckpoint(CheckpointTable):
+            def append(self, record):
+                if record["unit"] == units[2]:
+                    os._exit(17)  # hard death: data written, record not
+                super().append(record)
+
+        ckpt = DyingCheckpoint(spark, f"{d}/lineage")
+        resumable_backfill(
+            spark, units, lambda u: tdf.where(F.col("conv_id") == u),
+            f"{d}/out", ckpt, "run1", ["text"], "ts",
+        )
+        os._exit(0)  # not reached
+        """
+    ) % {"repo": os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+         "units": units, "dir": d}
+    proc = subprocess.run([sys.executable, "-c", script], timeout=300,
+                          capture_output=True, text=True)
+    assert proc.returncode == 17, proc.stderr[-2000:]
+    # post-mortem: units 0-1 checkpointed; unit 2's data is orphaned on disk
+    ckpt = CheckpointTable(spark, f"{d}/lineage")
+    assert ckpt.completed_units("run1") == set(units[:2])
+    assert spark.read.parquet(f"{d}/out/__unit={units[2]}").count() > 0
+
+    def run_unit(u):
+        return tdf.where(F.col("conv_id") == u)
+
+    executed = resumable_backfill(
+        spark, units, run_unit, f"{d}/out", ckpt, "run1", ["text"], "ts"
+    )
+    assert executed == units[2:]  # orphan unit redone, completed units skipped
+
+    # unbroken control run into a separate dir
+    d2 = str(tmp_path / "clean")
+    ckpt2 = CheckpointTable(spark, f"{d2}/lineage")
+    resumable_backfill(
+        spark, units, run_unit, f"{d2}/out", ckpt2, "run1", ["text"], "ts"
+    )
+    crashed = sorted(map(tuple, spark.read.parquet(f"{d}/out").collect()))
+    clean = sorted(map(tuple, spark.read.parquet(f"{d2}/out").collect()))
+    assert crashed == clean and len(clean) > 0
+    lin1 = {r["unit"]: (r["row_count"], r["feature_checksum"], r["watermark_us"])
+            for r in ckpt.read().collect()}
+    lin2 = {r["unit"]: (r["row_count"], r["feature_checksum"], r["watermark_us"])
+            for r in ckpt2.read().collect()}
+    assert lin1 == lin2 and set(lin1) == set(units)
 
 
 def test_table_io_parquet_fallback_roundtrip(spark, tmp_path):
