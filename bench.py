@@ -35,13 +35,17 @@ def transcripts_path() -> str:
 
 
 def engine_fingerprint() -> str:
-    """md5 over the engine + driver-contract sources.  Per-query floors
+    """md5 over the engine + driver-contract sources PLUS the execution
+    environment (Spark version, SF dir).  Per-query floors
     (BENCH/query_floors.json) merge only within one fingerprint: any code
-    change resets them, so a floor can never hide a real regression —
-    while repeat sessions of an UNCHANGED engine min-merge, which is what
-    separates ±40% host-noise windows from actual plan changes (the r3
-    jaccard_pairs/session_stats "regressions" were window noise)."""
+    or environment change resets them, so a floor can never hide a real
+    regression — while repeat sessions of an UNCHANGED engine min-merge,
+    which is what separates ±40% host-noise windows from actual plan
+    changes (the r3 jaccard_pairs/session_stats "regressions" were window
+    noise)."""
     import hashlib
+
+    import pyspark
 
     root = Path(__file__).resolve().parent
     h = hashlib.md5()
@@ -50,15 +54,20 @@ def engine_fingerprint() -> str:
     for f in files:
         h.update(f.name.encode())
         h.update(f.read_bytes())
+    h.update(f"|spark={pyspark.__version__}|dir={SF_DIR}".encode())
     return h.hexdigest()[:16]
 
 
-def merge_query_floors(timings: dict, rows: dict) -> tuple[dict, dict]:
+def merge_query_floors(
+    timings: dict, rows: dict, tag: str = "", sf: float | None = None
+) -> tuple[dict, dict]:
     """Min-merge this session's per-query timings into the keyed history;
     returns (floor timings, protocol metadata).  Same protocol as
-    BENCH/scaling_runs.json: keyed by fingerprint (and per-query row count
-    as the determinism signal), min across sessions estimates capability,
-    single sessions estimate the host window."""
+    BENCH/scaling_runs.json: keyed by sf + CPU config + fingerprint (and
+    per-query row count as the determinism signal) — CPUS is in the key so
+    floors measured at one parallelism never merge with another — min
+    across sessions estimates capability, single sessions estimate the
+    host window."""
     fp = engine_fingerprint()
     path = Path(__file__).resolve().parent / "BENCH" / "query_floors.json"
     hist = {}
@@ -67,7 +76,7 @@ def merge_query_floors(timings: dict, rows: dict) -> tuple[dict, dict]:
             hist = json.loads(path.read_text())
         except Exception:
             hist = {}
-    key = f"sf{_SF}|{fp}"
+    key = f"{tag}sf{_SF if sf is None else sf}|c{CPUS}|{fp}"
     entry = hist.get(key, {"queries": {}, "n_sessions": 0})
     floors = {}
     for name, sec in timings.items():
@@ -194,6 +203,9 @@ def run(spark) -> dict:
         "cosine_topk",
         "quality_features",
         "bio_encode_tokens",
+        # the reference's flagship entry point (E1): featurize -> linear
+        # head -> Viterbi -> BIO decode end-to-end, first-class since r5
+        "predict_entities",
     ):
         # warm each query's plan shapes (codegen/JIT/localCheckpoint paths)
         # on the tiny sf before timing: the first run of a shape is ~2x
@@ -212,9 +224,15 @@ def run(spark) -> dict:
     # round-over-round comparisons stop aliasing ±40% host-noise windows
     floors, proto = merge_query_floors(timings, rowcounts)
     total = round(sum(floors.values()), 3)
-    return {
+    result = {
         "metric": "asof_feature_engine_e2e",
+        # "value" is the cross-session FLOOR total (capability estimate,
+        # monotone under min-merge); this run's own wall time is
+        # "value_session" — self-described so a consumer can't mistake one
+        # for the other
         "value": total,
+        "value_is": "floor_total",
+        "value_session": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": floors,
         "queries_session": timings,
@@ -222,7 +240,47 @@ def run(spark) -> dict:
         "sf": _SF,
         "n_turns": n_turns,
         "turns_per_sec": round(n_turns / floors["flagship_featurize"], 1),
+        "turns_per_sec_session": round(
+            n_turns / timings["flagship_featurize"], 1
+        ),
         "cpus": CPUS,
+    }
+    if os.environ.get("BENCH_SKIP_ALL_QUERIES", "") != "1":
+        result["all_queries_sf001"] = run_all_queries(spark)
+    return result
+
+
+def run_all_queries(spark) -> dict:
+    """Floor-track EVERY driver-contract entry at sf0.01 (the correctness
+    scale) so a perf regression in any of the 45 queries — not just the 10
+    sf0.1 headliners — is visible round-over-round.  Same fingerprint-keyed
+    min-merge protocol, separate history key (allq-sf0.01|cN|fp).  Skippable
+    with BENCH_SKIP_ALL_QUERIES=1 (e.g. inside scaling pairs, where only
+    the flagship matters and the host must stay idle)."""
+    import __spark_entry__ as e
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        return {}
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in e.queries().items():
+        best, n = None, None
+        for _ in range(2):  # best-of-2: first rep pays plan compile + JIT
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        rows[name] = int(n)
+    floors, proto = merge_query_floors(timings, rows, tag="allq-", sf=0.01)
+    return {
+        "queries": floors,
+        "queries_session": timings,
+        "total": round(sum(floors.values()), 3),
+        "total_session": round(sum(timings.values()), 3),
+        "floor_protocol": proto,
+        "sf": 0.01,
     }
 
 

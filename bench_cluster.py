@@ -18,7 +18,13 @@ BENCH/cluster_runs.json keyed by the job's determinism checksum, so floors
 accumulate across invocations and never mix engine versions.
 
 Usage:
-    python bench_cluster.py [--pairs 4] [--skip-start]
+    python bench_cluster.py [--pairs 4] [--skip-start] [--geometry 4x2|8x1|2x4]
+
+Geometries (A -> B, B always has 4x A's total cores): 4x2 = 1 -> 4 executor
+JVMs of 2 cores (canonical gate reading); 8x1 = 2 -> 8 single-core JVMs;
+2x4 = 2 -> 8 cores as two 4-core JVMs.  Both sides of a pair run the SAME
+number of timed iterations (CLUSTER_ITERS, default 3, first discarded as
+warmup) — equal sampling keeps the floor-based ratio unbiased.
 
 Starts master+worker via /opt/spark/sbin (idempotent), appends results,
 and rewrites the cluster section consumed by bench_scaling's BASELINE.md
@@ -37,21 +43,24 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
 MASTER_URL = "spark://127.0.0.1:7077"
-EXECUTOR_CORES = 2
 N_CONVS = int(os.environ.get("SCALING_CONVS", "48000"))  # ~1.8M turns
 
 CHILD = r"""
 import json, sys, time
 sys.path.insert(0, sys.argv[1])
-repo, cores_max, n_convs, n_iter = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+repo, n_exec, exec_cores, n_convs, n_iter = (
+    sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
+    int(sys.argv[5]))
+cores_max = n_exec * exec_cores
 from deep_ner_spark.session import get_spark
 from deep_ner_spark.pipeline import featurize_transcripts
 from pyspark.sql import functions as F
 
-spark = get_spark("cluster-scaling-c" + str(cores_max), master="@MASTER@",
+spark = get_spark("cluster-scaling-%dx%d" % (n_exec, exec_cores),
+                  master="@MASTER@",
                   shuffle_partitions=32,
-                  extra_conf={"spark.executor.cores": "@EC@",
-                              "spark.executor.memory": "12g",
+                  extra_conf={"spark.executor.cores": str(exec_cores),
+                              "spark.executor.memory": "@MEM@",
                               "spark.cores.max": str(cores_max),
                               "spark.driver.memory": "4g"})
 spark.sparkContext.setLogLevel("ERROR")
@@ -93,12 +102,12 @@ execs = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
 timed = results[1:] if n_iter > 1 else results
 best = min(timed)
 print(json.dumps({"cores_max": cores_max, "n_executors": execs,
-                  "executor_cores": int("@EC@"), "n_turns": n, "checksum": chk,
+                  "executor_cores": exec_cores, "n_turns": n, "checksum": chk,
                   "runs_sec": [round(x, 2) for x in results],
                   "best_sec": round(best, 3),
                   "turns_per_sec": round(n / best, 1)}))
 spark.stop()
-""".replace("@MASTER@", MASTER_URL).replace("@EC@", str(EXECUTOR_CORES))
+""".replace("@MASTER@", MASTER_URL).replace("@MEM@", "12g")
 
 
 def cluster_up() -> bool:
@@ -137,21 +146,35 @@ def start_cluster():
         raise RuntimeError("standalone master failed to start; see /tmp/spark-logs")
 
 
-def run_config(cores_max: int, n_iter: int = 2) -> dict:
+def run_config(n_exec: int, exec_cores: int, n_iter: int = 3) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(REPO), str(cores_max), str(N_CONVS),
-         str(n_iter)],
-        capture_output=True, text=True, timeout=2400, cwd=str(REPO))
+        [sys.executable, "-c", CHILD, str(REPO), str(n_exec), str(exec_cores),
+         str(N_CONVS), str(n_iter)],
+        capture_output=True, text=True, timeout=3600, cwd=str(REPO))
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not lines:
         raise RuntimeError(f"child failed: {out.stderr[-3000:]}")
     return json.loads(lines[-1])
 
 
+# geometry name -> ((a_exec, a_cores), (b_exec, b_cores)); the B side always
+# has 4x the A side's total cores, so eff = (tps_b / tps_a) / 4 in each.
+# "4x2" is the canonical gate reading (1 -> 4 executor JVMs, 2 cores each);
+# "8x1" reads the gate as 2 -> 8 single-core executor JVMs; "2x4" scales the
+# same 2 -> 8 cores into two fatter JVMs (same total cores as the others'
+# B side) — the alternative-geometry probe for the memory controller.
+GEOMETRIES = {
+    "4x2": ((1, 2), (4, 2)),
+    "8x1": ((2, 1), (8, 1)),
+    "2x4": ((1, 2), (2, 4)),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pairs", type=int, default=4)
     ap.add_argument("--skip-start", action="store_true")
+    ap.add_argument("--geometry", choices=sorted(GEOMETRIES), default="4x2")
     args = ap.parse_args()
     if not args.skip_start:
         start_cluster()
@@ -164,22 +187,22 @@ def main():
         except Exception:
             pass
 
-    a_cores, b_cores = EXECUTOR_CORES, 4 * EXECUTOR_CORES
+    (a_exec, a_cores), (b_exec, b_cores) = GEOMETRIES[args.geometry]
+    # EQUAL timed-iteration counts per side: min over more samples is
+    # stochastically lower, so asymmetric sampling (more B iters than A)
+    # would converge the numerator's floor faster than the denominator's
+    # and inflate the floor-based efficiency in finite samples.  Both sides
+    # run CLUSTER_ITERS iterations (first discarded as warmup each).
+    n_iter = int(os.environ.get("CLUSTER_ITERS", "3"))
     for i in range(args.pairs):
-        ra = run_config(a_cores, n_iter=2)
-        # the short 4-executor side is the window-sensitive one (observed
-        # 106-173s spread vs ±7% on the ~5-min side): extra timed
-        # iterations per pair multiply its floor observations for ~2 min
-        # each (CLUSTER_B_ITERS; floors are min-estimators, so asymmetric
-        # sampling reduces variance without biasing either side's floor)
-        rb = run_config(
-            b_cores, n_iter=int(os.environ.get("CLUSTER_B_ITERS", "3"))
-        )
+        ra = run_config(a_exec, a_cores, n_iter=n_iter)
+        rb = run_config(b_exec, b_cores, n_iter=n_iter)
         assert ra["checksum"] == rb["checksum"], "determinism broken across executor counts"
-        assert ra["n_executors"] == 1 and rb["n_executors"] == 4, (
+        assert (ra["n_executors"], rb["n_executors"]) == (a_exec, b_exec), (
             ra["n_executors"], rb["n_executors"])
         eff = (rb["turns_per_sec"] / ra["turns_per_sec"]) / 4.0
-        pair = {"t_1exec": ra["best_sec"], "t_4exec": rb["best_sec"],
+        pair = {"geom": args.geometry,
+                "t_a": ra["best_sec"], "t_b": rb["best_sec"],
                 "eff": round(eff, 3), "checksum": ra["checksum"]}
         print(json.dumps(pair), flush=True)
         hist["pairs"].append(pair)
@@ -194,23 +217,47 @@ def main():
             hist["configs"][key] = r
 
     chk = hist["configs"]["exec1x2"]["checksum"]
-    pairs = [p for p in hist["pairs"] if p.get("checksum") == chk]
-    effs = sorted(p["eff"] for p in pairs)
-    med = (effs[len(effs) // 2] if len(effs) % 2
-           else (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2)
-    floor_eff = round(
-        (hist["configs"]["exec4x2"]["turns_per_sec"]
-         / hist["configs"]["exec1x2"]["turns_per_sec"]) / 4.0, 3)
+
+    def geom_summary(geom: str) -> dict | None:
+        (ae, ac), (be, bc) = GEOMETRIES[geom]
+        ka, kb = f"exec{ae}x{ac}", f"exec{be}x{bc}"
+        if ka not in hist["configs"] or kb not in hist["configs"]:
+            return None
+        if hist["configs"][ka]["checksum"] != chk:
+            return None
+        pairs = [p for p in hist["pairs"]
+                 if p.get("checksum") == chk and p.get("geom", "4x2") == geom]
+        effs = sorted(p["eff"] for p in pairs)
+        med = (effs[len(effs) // 2] if len(effs) % 2
+               else (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2) if effs else None
+        return {
+            "floor_eff": round(
+                (hist["configs"][kb]["turns_per_sec"]
+                 / hist["configs"][ka]["turns_per_sec"]) / 4.0, 3),
+            "paired_median": round(med, 3) if med is not None else None,
+            "paired_best": max(effs) if effs else None,
+            "paired_min": min(effs) if effs else None,
+            "n_pairs": len(pairs),
+            "a": hist["configs"][ka],
+            "b": hist["configs"][kb],
+        }
+
+    geoms = {g: s for g in GEOMETRIES if (s := geom_summary(g)) is not None}
+    canon = geoms["4x2"]
     summary = {
         "metric": "scaling_efficiency_1_to_4_executor_JVMs",
-        "value": floor_eff,
+        "value": canon["floor_eff"],
         "unit": "ratio",
-        "paired_median": round(med, 3),
-        "paired_best": max(effs),
-        "paired_min": min(effs),
-        "n_pairs": len(pairs),
+        "paired_median": canon["paired_median"],
+        "paired_best": canon["paired_best"],
+        "paired_min": canon["paired_min"],
+        "n_pairs": canon["n_pairs"],
         "exec1x2": hist["configs"]["exec1x2"],
         "exec4x2": hist["configs"]["exec4x2"],
+        "geometries": geoms,
+        "best_geometry_eff": max(
+            (s["floor_eff"], g) for g, s in geoms.items()
+        ),
     }
     hist["summary"] = summary
     hist_path.parent.mkdir(exist_ok=True)

@@ -365,6 +365,28 @@ box (shared memory controller + turbo budget), not the engine or the JVM
 split.  Reproduce: `python bench_cluster.py` (starts master+worker via
 /opt/spark/sbin if not up).
 """
+            geoms = cl.get("geometries") or {}
+            if len(geoms) > 1:
+                summary["cluster_geometries"] = {
+                    g: s["floor_eff"] for g, s in geoms.items()}
+                geom_rows = "\n".join(
+                    f"| {g} ({s['a']['n_executors']}x{s['a']['executor_cores']}c"
+                    f" -> {s['b']['n_executors']}x{s['b']['executor_cores']}c)"
+                    f" | {s['floor_eff']:.3f} | {s['paired_median']:.3f}"
+                    f" | {s['paired_best']:.3f} | {s['n_pairs']} |"
+                    for g, s in sorted(geoms.items()))
+                cluster_md += f"""
+### Executor-geometry probe (same 4x total-core scale-up, different JVM split)
+
+| geometry (A -> B) | floor eff | paired median | paired best | n pairs |
+|---|---|---|---|---|
+{geom_rows}
+
+Same flagship job and determinism checksum in every geometry; each B side
+has 4x its A side's total cores, so all rows answer the same N -> 4N
+question with a different executor-JVM split — probing which layout the
+box's memory controller favors.
+"""
     best_pair = max(effs, key=effs.get)
     md = f"""# BENCH — measured numbers (sandbox: single node, {os.cpu_count()} cores, local mode)
 
