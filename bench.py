@@ -216,8 +216,12 @@ def run(spark) -> dict:
                 pass
         # best-of-2 everywhere: the sandbox host shows ±20% noise windows
         # with occasional 3x outliers; a fresh plan per rep avoids shuffle-
-        # stage reuse silently shrinking the measured work
-        timed(name, lambda n=name: qs[n](spark, SF_DIR).count(), reps=2)
+        # stage reuse silently shrinking the measured work.  jaccard_pairs
+        # gets a third rep: its localCheckpoint barriers + JIT profiles
+        # reach steady state only on the ~3rd full-size run (observed
+        # 6.0 -> 5.1 -> 4.8 -> 4.5s), so best-of-2 floors ~0.5s high
+        timed(name, lambda n=name: qs[n](spark, SF_DIR).count(),
+              reps=3 if name == "jaccard_pairs" else 2)
 
     # session-floor protocol: min-merge into the keyed history so repeat
     # sessions of an unchanged engine converge to capability floors and
