@@ -711,6 +711,29 @@ def q_quality_features(spark, sf_dir):
 
 
 @_q(
+    "token_counts",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish subword token counts (corpus cost estimator)."""
+    from deep_ner_spark.operators.textstats import token_counts
+
+    out = token_counts(_read(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long"),
+        "ws_tokens",
+        "bpe_tokens",
+    )
+
+
+@_q(
     "lang_id",
     """
     WITH base AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
@@ -795,6 +818,52 @@ def q_jaccard_pairs(spark, sf_dir):
         "size_a",
         "size_b",
         F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+@_q(
+    "dup_clusters",
+    """
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+               i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (SELECT id_a, id_b FROM inter
+              JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+              WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(id, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
+    comp AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY 1),
+    csize AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+    SELECT c.doc_id, c.cluster_id, s.cluster_size,
+           CAST(c.doc_id = c.cluster_id AS INT) AS is_canonical
+    FROM comp c JOIN csize s USING (cluster_id)
+    """,
+)
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup clusters: Jaccard>=0.5 pairs -> connected components ->
+    cluster size + min-id canonical flag, one row per document.  The oracle
+    replays the hash-min fixpoint as a DuckDB recursive reachability CTE."""
+    from deep_ner_spark.operators.dedup import dup_clusters
+
+    out = dup_clusters(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("cluster_id").cast("long"),
+        F.col("cluster_size").cast("long"),
+        F.col("is_canonical").cast("int"),
     )
 
 

@@ -246,6 +246,124 @@ def jaccard_pairs(
     return out.select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+    materialize: bool = True,
+) -> DataFrame:
+    """Connected components over an undirected pair list: (id, cluster_id),
+    where cluster_id is the component's minimum node id.
+
+    The input ``pairs`` is any near-dup pair frame (jaccard_pairs,
+    lsh_candidate_pairs, hamming_near_pairs, embedding_near_dup_pairs);
+    ``nodes`` supplies the full id universe so isolated documents come back
+    as their own singleton cluster.
+
+    Algorithm: hash-min label propagation with pointer jumping.  Each round
+    does (1) neighbor-min — every node takes the min of its own label and
+    its neighbors' labels (one join keyed on the uniformly-distributed node
+    id + one map-side-combined min agg), then (2) pointer jumping —
+    ``lab <- lab(lab)``, one self-join, which halves every node's distance
+    to its component minimum.  Rounds are therefore O(log diameter) (the
+    MapReduce CC bound of Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SOCC'14); near-dup graphs are short-diameter so
+    3-5 rounds is typical.  No step enumerates a component's cross
+    product, and every shuffle is keyed on node ids or label values —
+    skewed (giant) components cost nothing extra because a component is
+    never collected onto one task.
+
+    Convergence detection is the monotone label-sum invariant: labels only
+    ever decrease, so ``sum(lab)`` strictly decreases until fixpoint — one
+    tiny aggregate per round (decimal(38,0), overflow-safe at any id
+    range), no change-count join.  Each round ``localCheckpoint``s the new
+    label frame (GC-freed, see jaccard_pairs) so lineage doesn't grow
+    exponentially across iterations — the standard iterative-algorithm
+    pattern on Spark.
+    """
+    sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = sym.union(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    if materialize:
+        edges = _local_ckpt(edges)
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("lab")
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        # (1) neighbor-min
+        lab_of = labels.select(
+            F.col("id").alias("dst"), F.col("lab").alias("nlab")
+        )
+        nmin = (
+            edges.join(lab_of, "dst")
+            .groupBy("src")
+            .agg(F.min("nlab").alias("nlab"))
+            .withColumnRenamed("src", "id")
+        )
+        merged = labels.join(nmin, "id", "left").select(
+            "id",
+            F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
+        )
+        # (2) pointer jumping: lab <- lab(lab) (labels are always node ids,
+        # so the lookup always hits; left join is belt-and-braces)
+        parent = merged.select(
+            F.col("id").alias("lab"), F.col("lab").alias("plab")
+        )
+        jumped = merged.join(parent, "lab", "left").select(
+            "id",
+            F.least(F.col("lab"), F.coalesce("plab", F.col("lab"))).alias("lab"),
+        )
+        labels = _local_ckpt(jumped) if materialize else jumped
+        cur_sum = labels.agg(
+            F.sum(F.col("lab").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("id").alias(id_col), F.col("lab").alias("cluster_id"))
+
+
+def dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Duplicate clusters: n-gram-Jaccard near-dup pairs -> connected
+    components -> per-cluster size + canonical flag.
+
+    The step after pair generation in a real dedup pipeline: transitive
+    near-dups (A~B, B~C but not A~C) must land in ONE cluster before a
+    keep-one policy can run, else the pipeline keeps both ends of a chain.
+    Output: (id_col, cluster_id, cluster_size, is_canonical) for EVERY
+    input document — singletons are their own cluster of size 1; the
+    canonical representative is the minimum id (deterministic, engine-
+    portable; callers wanting keep-best-quality join quality_score and
+    min_by themselves).
+
+    Scale: pair generation is exact PPJoin (see jaccard_pairs), clustering
+    is O(log diameter) hash-min rounds (see connected_components), and the
+    size join back is keyed on cluster_id — a giant cluster makes that
+    join key hot, which AQE's skew-join split handles; nothing collects a
+    cluster onto one task or the driver.
+    """
+    pairs = jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    cc = connected_components(pairs, df.select(id_col), id_col)
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return cc.join(sizes, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        (F.col(id_col) == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16, n: int = 3
 ) -> DataFrame:

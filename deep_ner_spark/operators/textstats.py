@@ -22,6 +22,37 @@ def token_count_col(text: Column) -> Column:
     return F.size(tokens_col(text))
 
 
+# BPE-ish pre-tokenizer: letter runs capped at 4 chars (a subword budget —
+# real BPE merges average ~4 chars/piece on English web text), digit runs
+# capped at 3 (GPT-style number chunking), every other non-space char its
+# own piece.  Alternation + greedy bounded quantifiers only, so Java regex
+# (Spark) and RE2 (DuckDB) match identically — no lookaround, which RE2
+# lacks and which real BPE pre-tokenizers (GPT-2's \s+(?!\S)) do use.
+BPE_ISH_PATTERN = r"[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """Approximate subword token count via the BPE-ish regex — the cheap
+    corpus-cost estimator run before a real (plugin) tokenizer."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token-count stats: (id, n_chars, ws_tokens, bpe_tokens).
+
+    ws_tokens is the whitespace count (the dedup/shingle tokenizer);
+    bpe_tokens the BPE-ish subword estimate.  All JVM built-ins inside one
+    whole-stage-codegen projection — at corpus scale this is scan-bound.
+    """
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(text).alias("n_chars"),
+        token_count_col(text).cast("long").alias("ws_tokens"),
+        bpe_token_count_col(text).cast("long").alias("bpe_tokens"),
+    )
+
+
 def stopword_ratio_col(text: Column, stopwords=EN_STOPWORDS) -> Column:
     toks = tokens_col(text)
     stops = F.size(F.filter(toks, lambda t: F.lower(t).isin(*stopwords)))

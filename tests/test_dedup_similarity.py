@@ -296,3 +296,73 @@ def test_embedding_near_dup_occupancy_guard(spark):
 
     ok = embedding_near_dup_pairs(emb, 16, occupancy_guard=10_000)
     assert ok.count() == 40 * 39 // 2
+
+
+def test_connected_components_vs_union_find(spark):
+    """Hash-min + pointer-jumping CC equals a Python union-find on a graph
+    with a chain (forces multi-round propagation), a star, a triangle and
+    isolated nodes."""
+    from deep_ner_spark.operators.dedup import connected_components
+
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),  # chain 1..7
+        (10, 11), (10, 12), (10, 13),                     # star at 10
+        (20, 21), (21, 22), (20, 22),                     # triangle
+    ]
+    node_ids = sorted({v for e in edges for v in e} | {30, 31})  # isolated
+    pairs = spark.createDataFrame(pd.DataFrame(edges, columns=["id_a", "id_b"]))
+    nodes = spark.createDataFrame(pd.DataFrame({"nid": node_ids}))
+    got = {
+        r["nid"]: r["cluster_id"]
+        for r in connected_components(pairs, nodes, "nid").collect()
+    }
+
+    parent = {v: v for v in node_ids}
+
+    def find(v):
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    roots = {}
+    for v in node_ids:
+        r = find(v)
+        roots.setdefault(r, min(u for u in node_ids if find(u) == r))
+        want[v] = roots[r]
+    assert got == want
+    assert got[7] == 1 and got[30] == 30 and got[31] == 31
+
+
+def test_dup_clusters(docs, spark):
+    """Exact dup (0,2) + near-dup (0,1) chain into ONE cluster with min-id
+    canonical; everyone else is a singleton; sizes sum to the corpus."""
+    from deep_ner_spark.operators.dedup import dup_clusters
+
+    rows = dup_clusters(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert len(rows) == 6
+    assert {by_id[i]["cluster_id"] for i in (0, 1, 2)} == {0}
+    assert by_id[0]["cluster_size"] == 3
+    for i in (3, 4, 5):
+        assert by_id[i]["cluster_id"] == i and by_id[i]["cluster_size"] == 1
+    canon = [r["doc_id"] for r in rows if r["is_canonical"] == 1]
+    assert sorted(canon) == [0, 3, 4, 5]
+    assert sum(r["cluster_size"] for r in rows if r["is_canonical"] == 1) == 6
+
+
+def test_token_counts(docs, spark):
+    from deep_ner_spark.operators.textstats import token_counts
+
+    out = {r["doc_id"]: r for r in token_counts(docs, "doc_id", "text").collect()}
+    # "the quick brown fox jumps over the lazy dog": 9 ws tokens; BPE-ish
+    # splits letter runs at 4 chars: the|quic|k|brow|n|fox|jump|s|over|the|lazy|dog
+    assert out[0]["ws_tokens"] == 9
+    assert out[0]["bpe_tokens"] == 12
+    assert out[5]["ws_tokens"] == 2 and out[5]["bpe_tokens"] == 2
+    assert out[0]["n_chars"] == len("the quick brown fox jumps over the lazy dog")
