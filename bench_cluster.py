@@ -209,7 +209,18 @@ def main():
         for r in (ra, rb):
             key = f"exec{r['n_executors']}x{r['executor_cores']}"
             prev = hist["configs"].get(key)
-            if prev and prev.get("checksum") == r["checksum"]:
+            if prev and prev.get("checksum") != r["checksum"]:
+                # never clobber an accumulated floor with a different-sized
+                # or different-engine run: the recorded floors are the
+                # round-over-round evidence.  (The recorded history was
+                # measured at SCALING_CONVS=160000 -> 6,008,110 turns.)
+                raise RuntimeError(
+                    f"checksum mismatch for {key}: history has "
+                    f"{prev['checksum']} ({prev['n_turns']} turns), this run "
+                    f"produced {r['checksum']} ({r['n_turns']} turns); set "
+                    "SCALING_CONVS to the recorded size or move "
+                    "BENCH/cluster_runs.json aside first")
+            if prev:
                 r = dict(r, runs_sec=prev["runs_sec"] + r["runs_sec"])
                 if prev["best_sec"] < r["best_sec"]:
                     r["best_sec"], r["turns_per_sec"] = (
