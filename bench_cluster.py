@@ -195,6 +195,9 @@ def main():
     # run CLUSTER_ITERS iterations (first discarded as warmup each).
     n_iter = int(os.environ.get("CLUSTER_ITERS", "3"))
     for i in range(args.pairs):
+        # sides run back-to-back so both see the same host-noise window;
+        # history is persisted after EVERY pair (not at batch end) so a
+        # killed batch loses at most the in-flight pair, never recorded ones.
         ra = run_config(a_exec, a_cores, n_iter=n_iter)
         rb = run_config(b_exec, b_cores, n_iter=n_iter)
         assert ra["checksum"] == rb["checksum"], "determinism broken across executor counts"
@@ -226,7 +229,10 @@ def main():
                     r["best_sec"], r["turns_per_sec"] = (
                         prev["best_sec"], prev["turns_per_sec"])
             hist["configs"][key] = r
+        summarize_and_persist(hist, hist_path)
 
+
+def summarize_and_persist(hist: dict, hist_path: Path) -> None:
     chk = hist["configs"]["exec1x2"]["checksum"]
 
     def geom_summary(geom: str) -> dict | None:
@@ -254,6 +260,10 @@ def main():
         }
 
     geoms = {g: s for g in GEOMETRIES if (s := geom_summary(g)) is not None}
+    if "4x2" not in geoms:
+        hist_path.parent.mkdir(exist_ok=True)
+        hist_path.write_text(json.dumps(hist, indent=1))
+        return
     canon = geoms["4x2"]
     summary = {
         "metric": "scaling_efficiency_1_to_4_executor_JVMs",
