@@ -2366,6 +2366,109 @@ def q_predict_entities_shape_head(spark, sf_dir):
     return predict_entities(out, classes, W, trans)
 
 
+# --- round 5: incremental dedup vs corpus + deterministic sampling ----------
+
+
+@_q(
+    "stratified_sample_docs",
+    """
+    SELECT doc_id, lang, sample_rank FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents)
+    WHERE sample_rank <= 20
+    """,
+)
+def q_stratified_sample_docs(spark, sf_dir):
+    """Deterministic per-language bottom-k sample (hash-rank, two-phase)."""
+    from deep_ner_spark.operators.splitting import stratified_sample_bottomk
+
+    out = stratified_sample_bottomk(
+        _read(spark, sf_dir, "documents"), "lang", 20, "doc_id", seed=7
+    )
+    return out.select(
+        F.col("doc_id").cast("long"),
+        "lang",
+        F.col("sample_rank").cast("long"),
+    )
+
+
+@_q(
+    "dedup_corpus_exact",
+    """
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id % 5 = 0
+      AND NOT EXISTS (SELECT 1 FROM documents c
+                      WHERE c.doc_id % 5 <> 0 AND md5(c.text) = md5(d.text))
+    """,
+)
+def q_dedup_corpus_exact(spark, sf_dir):
+    """Incremental exact dedup: new shard (doc_id%5=0) vs corpus (rest)."""
+    from deep_ner_spark.operators.dedup import dedup_against_corpus
+
+    docs = _read(spark, sf_dir, "documents")
+    out = dedup_against_corpus(
+        docs.where(F.col("doc_id") % 5 == 0),
+        docs.where(F.col("doc_id") % 5 != 0),
+        "text",
+    )
+    return out.select(F.col("doc_id").cast("long"), "lang")
+
+
+@_q(
+    "dedup_corpus_lsh",
+    """
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+               i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    expanded AS (SELECT doc_id, shingle, unnest(generate_series(0, 7)) AS h_idx FROM sh),
+    sig AS (SELECT doc_id, h_idx, min(md5(shingle || ':' || h_idx)) AS minhash
+            FROM expanded GROUP BY 1, 2),
+    banded AS (
+      SELECT doc_id, CAST(h_idx // 4 AS INT) AS band,
+             md5(string_agg(h_idx || ':' || minhash, '|' ORDER BY h_idx || ':' || minhash)) AS bucket
+      FROM sig GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT n.doc_id AS id_new, c.doc_id AS id_cor
+             FROM banded n JOIN banded c USING (band, bucket)
+             WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0),
+    inter AS (SELECT cand.id_new, cand.id_cor, count(*) AS i
+              FROM cand
+              JOIN sh a ON a.doc_id = cand.id_new
+              JOIN sh b ON b.doc_id = cand.id_cor AND b.shingle = a.shingle
+              GROUP BY 1, 2),
+    dropped AS (SELECT DISTINCT inter.id_new FROM inter
+                JOIN sizes sa ON sa.doc_id = inter.id_new
+                JOIN sizes sb ON sb.doc_id = inter.id_cor
+                WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5)
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id % 5 = 0
+      AND d.doc_id NOT IN (SELECT id_new FROM dropped)
+    """,
+)
+def q_dedup_corpus_lsh(spark, sf_dir):
+    """Incremental near-dup dedup: LSH band anti-join + Jaccard>=0.5 verify."""
+    from deep_ner_spark.operators.dedup import lsh_dedup_against_corpus
+
+    docs = _read(spark, sf_dir, "documents")
+    out = lsh_dedup_against_corpus(
+        docs.where(F.col("doc_id") % 5 == 0),
+        docs.where(F.col("doc_id") % 5 != 0),
+        "doc_id",
+        "text",
+        n_hashes=8,
+        band_size=4,
+        n=3,
+        threshold=0.5,
+    )
+    return out.select(F.col("doc_id").cast("long"), "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_QUERIES)
 

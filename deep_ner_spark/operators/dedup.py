@@ -400,6 +400,26 @@ def minhash_signatures(
     )
 
 
+def banded_buckets(
+    signatures: DataFrame, id_col: str, band_size: int = 4
+) -> DataFrame:
+    """(id, band, bucket) — band key = md5 of the concatenated band
+    signature.  Shared substrate for self-join candidate search
+    (:func:`lsh_candidate_pairs`) and incremental new-vs-corpus dedup
+    (:func:`lsh_dedup_against_corpus`)."""
+    return (
+        signatures.withColumn("band", (F.col("h_idx") / band_size).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|", F.sort_array(F.collect_list(F.concat_ws(":", "h_idx", "minhash")))
+                )
+            ).alias("bucket")
+        )
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -413,17 +433,7 @@ def lsh_candidate_pairs(
     ``materialize`` computes the banded frame once instead of once per
     self-join side (localCheckpoint; GC-freed, see jaccard_pairs).
     """
-    banded = (
-        signatures.withColumn("band", (F.col("h_idx") / band_size).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "|", F.sort_array(F.collect_list(F.concat_ws(":", "h_idx", "minhash")))
-                )
-            ).alias("bucket")
-        )
-    )
+    banded = banded_buckets(signatures, id_col, band_size)
     if materialize:
         banded = _local_ckpt(banded)
     a = banded.alias("a")
@@ -514,3 +524,118 @@ def hamming_near_pairs(
     return cand.withColumn(
         "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     ).where(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    broadcast_fingerprints: bool = False,
+) -> DataFrame:
+    """Incremental EXACT dedup: rows of ``new_df`` whose md5(text) does not
+    already appear in ``corpus_df`` (the training-pipeline "new shard vs
+    existing corpus" case — no reference analog; same fingerprint as
+    :func:`exact_dedup`).
+
+    Scale shape: the corpus collapses to DISTINCT 32-hex fingerprints
+    before the left-anti join, so the shuffle moves one hash per corpus
+    doc, never document bodies; with ``broadcast_fingerprints`` a small
+    fingerprint set (e.g. a single day's corpus delta) broadcasts and the
+    new side is scanned shuffle-free.  New-vs-new duplicates are NOT
+    collapsed here — that is :func:`exact_dedup`'s job; this operator's
+    contract is exactly "already known to the corpus".
+    """
+    fp = corpus_df.select(F.md5(F.col(text_col)).alias("__fp")).distinct()
+    if broadcast_fingerprints:
+        fp = F.broadcast(fp)
+    return (
+        new_df.withColumn("__fp", F.md5(F.col(text_col)))
+        .join(fp, "__fp", "left_anti")
+        .drop("__fp")
+    )
+
+
+def lsh_dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    materialize: bool = True,
+) -> DataFrame:
+    """Incremental NEAR-dup dedup: drop a new doc when it shares an LSH
+    band bucket with any corpus doc AND the verified distinct-shingle
+    Jaccard against that doc is >= ``threshold``.  Returns the surviving
+    rows of ``new_df`` unchanged.
+
+    Scale shape: both sides reduce to (id, band, bucket) keys before the
+    equi-join, so candidate generation touches only bucket-key collisions
+    (never new x corpus); Jaccard verification re-joins shingles for
+    candidate ids only.  Near-dups *within* ``new_df`` are untouched —
+    run :func:`jaccard_pairs` / :func:`dup_clusters` for that.
+    """
+    sig_new = minhash_signatures(new_df, id_col, text_col, n_hashes, n)
+    sig_cor = minhash_signatures(corpus_df, id_col, text_col, n_hashes, n)
+    b_new = banded_buckets(sig_new, id_col, band_size).withColumnRenamed(
+        id_col, "__id_new"
+    )
+    b_cor = banded_buckets(sig_cor, id_col, band_size).withColumnRenamed(
+        id_col, "__id_cor"
+    )
+    cand = (
+        b_new.join(b_cor, on=["band", "bucket"])
+        .select("__id_new", "__id_cor")
+        .distinct()
+    )
+    if materialize:
+        cand = _local_ckpt(cand)
+
+    sh_new = doc_shingles(
+        new_df.join(
+            cand.select(F.col("__id_new").alias(id_col)).distinct(), id_col, "semi"
+        ),
+        id_col,
+        text_col,
+        n,
+    )
+    sh_cor = doc_shingles(
+        corpus_df.join(
+            cand.select(F.col("__id_cor").alias(id_col)).distinct(), id_col, "semi"
+        ),
+        id_col,
+        text_col,
+        n,
+    )
+    inter = (
+        cand.join(
+            sh_new.select(
+                F.col(id_col).alias("__id_new"),
+                F.col("size").alias("__sz_new"),
+                "shingle",
+            ),
+            "__id_new",
+        )
+        .join(
+            sh_cor.select(
+                F.col(id_col).alias("__id_cor"),
+                F.col("size").alias("__sz_cor"),
+                "shingle",
+            ),
+            ["__id_cor", "shingle"],
+        )
+        .groupBy("__id_new", "__id_cor", "__sz_new", "__sz_cor")
+        .agg(F.count("*").alias("__inter"))
+    )
+    dropped = (
+        inter.where(
+            F.col("__inter")
+            / (F.col("__sz_new") + F.col("__sz_cor") - F.col("__inter"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("__id_new").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(dropped, id_col, "left_anti")

@@ -247,3 +247,55 @@ def sample_assignment(
         best = indices
     chosen = sorted(ids[i] for i in best[:n])
     return spark.createDataFrame([(i,) for i in chosen], [sample_col])
+
+
+def stratified_sample_bottomk(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str,
+    seed: int = 42,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Deterministic per-stratum bottom-k sample: the k rows with the
+    smallest md5(seed:id) per stratum, with a 1-based ``sample_rank``
+    column appended (training-pipeline dataset balancing; no reference
+    analog).
+
+    Hash-rank sampling instead of rand(): the draw is a pure function of
+    (seed, id), so it is identical across engines (the DuckDB oracle
+    re-ranks the same md5 hex strings), across cluster sizes, and across
+    reruns/backfills — appending rows to a stratum can only displace
+    survivors from rank k downward, never reshuffle the whole sample.
+
+    Exact two-phase top-k: phase 1 keeps the per-(stratum, salt) bottom-k
+    — the global per-stratum bottom-k is distributed among salts, so the
+    union of per-salt bottom-k is a superset of it BY CONSTRUCTION (no
+    probabilistic safety factor) — meaning the wide input sorts at
+    (stratum x n_salts) key granularity and one hot stratum cannot pin a
+    single reducer; phase 2 ranks the <= k*n_salts survivors per stratum
+    exactly.  ``n_salts <= 1`` skips phase 1 (single-window semantics,
+    used by the equality test).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql.window import Window
+
+    h = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    out = df.withColumn("__h", h)
+    if n_salts and n_salts > 1:
+        salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_salts))
+        w1 = Window.partitionBy(F.col(strata_col), salt).orderBy("__h", id_col)
+        out = (
+            out.withColumn("__r1", F.row_number().over(w1))
+            .where(F.col("__r1") <= k)
+            .drop("__r1")
+        )
+    w2 = Window.partitionBy(strata_col).orderBy("__h", id_col)
+    return (
+        out.withColumn("sample_rank", F.row_number().over(w2))
+        .where(F.col("sample_rank") <= k)
+        .drop("__h")
+    )

@@ -366,3 +366,108 @@ def test_token_counts(docs, spark):
     assert out[0]["bpe_tokens"] == 12
     assert out[5]["ws_tokens"] == 2 and out[5]["bpe_tokens"] == 2
     assert out[0]["n_chars"] == len("the quick brown fox jumps over the lazy dog")
+
+
+def test_dedup_against_corpus(docs, spark):
+    from deep_ner_spark.operators.dedup import dedup_against_corpus
+
+    # corpus = docs 0..2, new shard = docs 3..5 plus a copy of doc 0's text
+    corpus = docs.where(F.col("doc_id") <= 2)
+    new = docs.where(F.col("doc_id") >= 3).unionByName(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": [99], "text": ["the quick brown fox jumps over the lazy dog"]}
+            )
+        )
+    )
+    surv = sorted(
+        r["doc_id"] for r in dedup_against_corpus(new, corpus, "text").collect()
+    )
+    assert surv == [3, 4, 5]  # 99 dropped: its text is already in the corpus
+    surv_b = sorted(
+        r["doc_id"]
+        for r in dedup_against_corpus(
+            new, corpus, "text", broadcast_fingerprints=True
+        ).collect()
+    )
+    assert surv_b == surv
+
+
+def test_lsh_dedup_against_corpus(docs, spark):
+    from deep_ner_spark.operators.dedup import lsh_dedup_against_corpus
+
+    # corpus holds doc 0; the new shard holds its near-dup (1), exact dup
+    # (2), two unrelated docs and a shingle-free doc
+    corpus = docs.where(F.col("doc_id") == 0)
+    new = docs.where(F.col("doc_id") >= 1)
+    surv = sorted(
+        r["doc_id"]
+        for r in lsh_dedup_against_corpus(
+            new, corpus, "doc_id", "text", n_hashes=16, band_size=4, threshold=0.5
+        ).collect()
+    )
+    # 1 (jaccard 0.75 vs doc 0) and 2 (jaccard 1.0) dropped; 3, 4 survive
+    # (dissimilar); 5 survives (no shingles -> never a candidate).  16
+    # hashes / 4 bands: at 8/4 (2 bands) the near-dup deterministically
+    # misses both bands -- banding recall is the tunable, as in
+    # lsh_candidate_pairs
+    assert surv == [3, 4, 5]
+    # threshold above the near-dup's jaccard keeps it, still drops the copy
+    surv_hi = sorted(
+        r["doc_id"]
+        for r in lsh_dedup_against_corpus(
+            new, corpus, "doc_id", "text", n_hashes=16, band_size=4, threshold=0.95
+        ).collect()
+    )
+    assert surv_hi == [1, 3, 4, 5]
+
+
+def test_stratified_sample_bottomk(spark):
+    from deep_ner_spark.operators.splitting import stratified_sample_bottomk
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": list(range(200)),
+            "lang": ["en" if i % 4 else "de" for i in range(200)],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    out = stratified_sample_bottomk(df, "lang", 10, "doc_id", seed=3)
+    got = [(r["lang"], r["doc_id"], r["sample_rank"]) for r in out.collect()]
+    assert len(got) == 20 and {g[0] for g in got} == {"en", "de"}
+    assert sorted(r for _, _, r in got) == sorted(list(range(1, 11)) * 2)
+    # two-phase == single-window semantics, and repartitioning-invariant
+    single = stratified_sample_bottomk(df, "lang", 10, "doc_id", seed=3, n_salts=1)
+    assert sorted(got) == sorted(
+        (r["lang"], r["doc_id"], r["sample_rank"]) for r in single.collect()
+    )
+    reparted = stratified_sample_bottomk(
+        df.repartition(13), "lang", 10, "doc_id", seed=3
+    )
+    assert sorted(got) == sorted(
+        (r["lang"], r["doc_id"], r["sample_rank"]) for r in reparted.collect()
+    )
+    # k above the stratum size returns the whole stratum, ranked
+    all_de = stratified_sample_bottomk(
+        df.where(F.col("lang") == "de"), "lang", 999, "doc_id", seed=3
+    )
+    assert all_de.count() == 50
+    # appending rows only displaces from the tail: the survivor SET of the
+    # original sample is a superset of the new sample's overlap -- check
+    # the stable-prefix property on ranks
+    bigger = spark.createDataFrame(
+        pd.concat(
+            [rows, pd.DataFrame({"doc_id": list(range(200, 260)), "lang": ["de"] * 60})]
+        )
+    )
+    out2 = stratified_sample_bottomk(bigger, "lang", 10, "doc_id", seed=3)
+    de_old = [d for l, d, _ in sorted(got, key=lambda x: x[2]) if l == "de"]
+    de_new = [
+        r["doc_id"]
+        for r in sorted(
+            out2.where(F.col("lang") == "de").collect(), key=lambda r: r["sample_rank"]
+        )
+    ]
+    # every old survivor that still ranks <= 10 keeps its relative order
+    kept = [d for d in de_new if d in set(de_old)]
+    assert kept == [d for d in de_old if d in set(de_new)]
