@@ -766,6 +766,178 @@ def q_doc_fingerprint(spark, sf_dir):
     return doc_fingerprint(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+@_q(
+    "repetition_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+      FROM documents),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 2 + 2, 1)),
+                                   i -> t[i] || ' ' || t[i+1])) AS gram
+      FROM toks),
+    bic AS (
+      SELECT doc_id, gram, count(*) AS cnt, length(gram) AS l
+      FROM bi GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id,
+             (max(cnt * 4294967296 + cnt * l) % 4294967296)
+               / sum(cnt * l) AS top_ngram_char_frac
+      FROM bic GROUP BY 1),
+    tri AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 3 + 2, 1)),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+      FROM toks),
+    tric AS (
+      SELECT doc_id, gram, count(*) AS cnt, length(gram) AS l
+      FROM tri GROUP BY 1, 2),
+    dup AS (
+      SELECT doc_id,
+             sum(CASE WHEN cnt > 1 THEN cnt * l ELSE 0 END)
+               / sum(cnt * l) AS dup_ngram_char_frac,
+             max(cnt) AS max_ngram_repeat
+      FROM tric GROUP BY 1)
+    SELECT doc_id, top_ngram_char_frac, dup_ngram_char_frac, max_ngram_repeat
+    FROM top JOIN dup USING (doc_id)
+    """,
+)
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters: top-bigram / duplicated-trigram
+    character fractions + the max trigram repeat count."""
+    from deep_ner_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# deterministic PII decoration of the documents table: the synthetic corpus
+# contains no emails/IPs/phones, so the redaction query plants one of each,
+# derived from doc_id, and the oracle replays the identical decoration —
+# every replacement and count is then hash-checked end-to-end.
+_PII_DECOR_SQL = (
+    "text || ' contact user' || doc_id || '@mail.example.org or 10.0.' "
+    "|| (doc_id % 256) || '.7 or +1 415-' "
+    "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-123 now'"
+)
+
+
+@_q(
+    "redact_pii",
+    f"""
+    WITH decorated AS (
+      SELECT doc_id, {_PII_DECOR_SQL} AS text FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+           len(regexp_extract_all(text, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) AS n_ipv4,
+           len(regexp_extract_all(text, '\\+[0-9]{{1,3}}[ -][0-9]{{2,4}}[ -][0-9]{{3,4}}[ -][0-9]{{3,4}}\\b')) AS n_phone,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b', '<IPV4>', 'g'),
+             '\\+[0-9]{{1,3}}[ -][0-9]{{2,4}}[ -][0-9]{{3,4}}[ -][0-9]{{3,4}}\\b', '<PHONE>', 'g') AS redacted_text
+    FROM decorated
+    """,
+)
+def q_redact_pii(spark, sf_dir):
+    """PII scrub (emails / IPv4s / intl phones) over PII-decorated docs."""
+    from deep_ner_spark.operators.textstats import redact_pii
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 or +1 415-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit("-123 now"),
+        ).alias("text"),
+    )
+    out = redact_pii(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long"),
+        F.col("n_ipv4").cast("long"),
+        F.col("n_phone").cast("long"),
+        "redacted_text",
+    )
+
+
+# the next-fit recurrence shared by both packing oracles: DuckDB replays the
+# per-shard sequential scan as a recursive CTE carrying (bin, offset, fill)
+_PACK_REC_SQL = """
+    WITH RECURSIVE ord AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
+             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      FROM documents),
+    rec AS (
+      SELECT shard, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS bin_in_shard,
+             CAST(0 AS BIGINT) AS offset_in_bin,
+             n_tokens AS fill
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN r.fill + o.n_tokens > 128 THEN r.bin_in_shard + 1 ELSE r.bin_in_shard END,
+             CASE WHEN r.fill + o.n_tokens > 128 THEN CAST(0 AS BIGINT) ELSE r.fill END,
+             CASE WHEN r.fill + o.n_tokens > 128 THEN o.n_tokens ELSE r.fill + o.n_tokens END
+      FROM rec r JOIN ord o ON o.shard = r.shard AND o.rn = r.rn + 1)
+"""
+
+
+@_q(
+    "pack_sequences",
+    _PACK_REC_SQL
+    + """
+    SELECT doc_id, shard, n_tokens, bin_in_shard, offset_in_bin FROM rec
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Next-fit sequence packing plan (max_len=128, 8 shards)."""
+    from deep_ner_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _read(spark, sf_dir, "documents"), "doc_id", "text",
+        max_len=128, n_shards=8,
+    )
+
+
+@_q(
+    "packing_stats",
+    _PACK_REC_SQL
+    + """
+    , per_bin AS (
+      SELECT shard, bin_in_shard, sum(n_tokens) AS fill, count(*) AS n_docs
+      FROM rec GROUP BY 1, 2)
+    SELECT count(*) AS n_bins, sum(n_docs) AS n_docs,
+           sum(fill) / (count(*) * 128) AS fill_ratio,
+           max(fill) AS max_fill
+    FROM per_bin
+    """,
+)
+def q_packing_stats(spark, sf_dir):
+    """Packing efficiency rollup (bins, docs, fill ratio)."""
+    from deep_ner_spark.operators.packing import pack_sequences, packing_stats
+
+    packed = pack_sequences(
+        _read(spark, sf_dir, "documents"), "doc_id", "text",
+        max_len=128, n_shards=8,
+    )
+    out = packing_stats(packed, max_len=128)
+    return out.select(
+        F.col("n_bins").cast("long"),
+        F.col("n_docs").cast("long"),
+        "fill_ratio",
+        F.col("max_fill").cast("long"),
+    )
+
+
 # --- dedup family -------------------------------------------------------------
 
 

@@ -167,7 +167,42 @@ GEOMETRIES = {
     "4x2": ((1, 2), (4, 2)),
     "8x1": ((2, 1), (8, 1)),
     "2x4": ((1, 2), (2, 4)),
+    # 1 -> 4 single-core executor JVMs: the lowest-contention reading of
+    # "N -> 4N executors" this box allows (4 busy cores total on the B side,
+    # so the turbo/memory-controller penalty the md5 control measures for
+    # 2 -> 8 busy cores mostly doesn't apply)
+    "4x1": ((1, 1), (4, 1)),
 }
+
+
+def _burn(n: int) -> int:
+    import hashlib
+
+    x = 0
+    for i in range(n):
+        x ^= int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4], "little")
+    return x
+
+
+def md5_ceiling(a_procs: int, b_procs: int, work: int = 1_200_000) -> float:
+    """Hardware scaling ceiling for THIS window: identical pure-python md5
+    work at a_procs vs b_procs processes.  Any engine's efficiency between
+    the same core counts is bounded by this number (turbo budget + memory
+    controller + hypervisor neighbors), so each pair records the ceiling
+    measured seconds after it — eff/ceiling isolates the engine's own
+    scaling loss from the host's."""
+    import multiprocessing as mp
+    import time as _t
+
+    def tput(k: int) -> float:
+        with mp.Pool(k) as p:  # warm the pool so fork cost stays out
+            p.map(_burn, [1000] * k)
+            t0 = _t.time()
+            p.map(_burn, [work] * k)
+            return k / (_t.time() - t0)
+
+    ta, tb = tput(a_procs), tput(b_procs)
+    return round((tb / ta) / (b_procs / a_procs), 3)
 
 
 def main():
@@ -204,9 +239,15 @@ def main():
         assert (ra["n_executors"], rb["n_executors"]) == (a_exec, b_exec), (
             ra["n_executors"], rb["n_executors"])
         eff = (rb["turns_per_sec"] / ra["turns_per_sec"]) / 4.0
+        # era-matched hardware control: the md5 ceiling for the same
+        # core-count transition, measured in the same host window as the
+        # pair it annotates (adds ~1 min; equal per-side process counts)
+        ceil = md5_ceiling(a_exec * a_cores, b_exec * b_cores)
         pair = {"geom": args.geometry,
                 "t_a": ra["best_sec"], "t_b": rb["best_sec"],
-                "eff": round(eff, 3), "checksum": ra["checksum"]}
+                "eff": round(eff, 3), "ceil": ceil,
+                "eff_vs_ceil": round(eff / ceil, 3) if ceil else None,
+                "checksum": ra["checksum"]}
         print(json.dumps(pair), flush=True)
         hist["pairs"].append(pair)
         for r in (ra, rb):
@@ -245,9 +286,21 @@ def summarize_and_persist(hist: dict, hist_path: Path) -> None:
         pairs = [p for p in hist["pairs"]
                  if p.get("checksum") == chk and p.get("geom", "4x2") == geom]
         effs = sorted(p["eff"] for p in pairs)
-        med = (effs[len(effs) // 2] if len(effs) % 2
-               else (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2) if effs else None
+
+        def _med(vals):
+            vals = sorted(vals)
+            if not vals:
+                return None
+            k = len(vals)
+            return vals[k // 2] if k % 2 else (vals[k // 2 - 1] + vals[k // 2]) / 2
+
+        med = _med(effs)
+        normed = [p["eff_vs_ceil"] for p in pairs
+                  if p.get("eff_vs_ceil") is not None]
         return {
+            "median_eff_vs_md5_ceiling": (
+                round(_med(normed), 3) if normed else None),
+            "n_ceiling_pairs": len(normed),
             "floor_eff": round(
                 (hist["configs"][kb]["turns_per_sec"]
                  / hist["configs"][ka]["turns_per_sec"]) / 4.0, 3),
@@ -273,6 +326,7 @@ def summarize_and_persist(hist: dict, hist_path: Path) -> None:
         "paired_best": canon["paired_best"],
         "paired_min": canon["paired_min"],
         "n_pairs": canon["n_pairs"],
+        "median_eff_vs_md5_ceiling": canon["median_eff_vs_md5_ceiling"],
         "exec1x2": hist["configs"]["exec1x2"],
         "exec4x2": hist["configs"]["exec4x2"],
         "geometries": geoms,

@@ -170,6 +170,128 @@ def rolling_fingerprint(
     return df.select(F.col(id_col), fp(F.col(text_col)).alias("rolling_fp"))
 
 
+def ngrams_col(text: Column, n: int) -> Column:
+    """Word n-grams WITH multiplicity (unlike dedup.shingles_col, which is
+    distinct — repetition stats need occurrence counts)."""
+    toks = tokens_col(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    # sequence(0, neg) counts DOWN — gate short docs to an empty array
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _gram_counts(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, gram, cnt, len) occurrence counts of word n-grams.
+
+    explode_outer (no InferFiltersFromGenerate triple-eval of the HOF
+    chain) + null filter on the OUTPUT attribute, then a hash agg keyed by
+    (id, gram) — uniform key, map-side combined, no skew at corpus scale.
+    """
+    base = df.select(
+        F.col(id_col), ngrams_col(F.col(text_col), n).alias("__g")
+    ).select(id_col, F.explode_outer("__g").alias("gram"))
+    return (
+        base.where(F.col("gram").isNotNull())
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("cnt"))
+        .select(id_col, "gram", "cnt", F.length("gram").alias("len"))
+    )
+
+
+# encode (cnt, char_volume) into one ordered bigint so "most frequent gram,
+# ties broken by char volume" is a plain max() in BOTH engines (DuckDB has
+# no struct max): cnt <= n_tokens and cnt*len < 2^32 at any realistic doc
+# size, so key = cnt * 2^32 + cnt*len orders by cnt first, volume second.
+_TIE_BASE = 4294967296  # 2^32
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, top_n: int = 2, dup_n: int = 3
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1):
+
+    * ``top_ngram_char_frac`` — character volume of the single most
+      frequent ``top_n``-gram over the total character volume of all
+      ``top_n``-gram occurrences (ties on count broken by volume; any
+      remaining tie has equal volume, so the value is deterministic);
+    * ``dup_ngram_char_frac`` — character volume of ``dup_n``-grams that
+      occur more than once, over total ``dup_n``-gram volume;
+    * ``max_ngram_repeat`` — occurrence count of the most repeated
+      ``dup_n``-gram (integer; the cheap threshold most filters gate on).
+
+    Documents shorter than the n-gram order drop out (no grams to count),
+    matching the usual filter behavior of skipping too-short docs.
+
+    Scale: two explode+hash-agg passes keyed by (id, gram) then id —
+    uniformly distributed keys, partial aggregation on both, no per-doc
+    quadratic HOF work, so long documents cost O(len), not O(len^2).
+    """
+    top = (
+        _gram_counts(df, id_col, text_col, top_n)
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("cnt") * F.col("len")).alias("__tot_top"),
+            F.max(F.col("cnt") * _TIE_BASE + F.col("cnt") * F.col("len")).alias(
+                "__key"
+            ),
+        )
+        .select(
+            id_col,
+            ((F.col("__key") % _TIE_BASE) / F.col("__tot_top")).alias(
+                "top_ngram_char_frac"
+            ),
+        )
+    )
+    dup = (
+        _gram_counts(df, id_col, text_col, dup_n)
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("cnt") * F.col("len")).alias("__tot"),
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt") * F.col("len")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("__dup"),
+            F.max("cnt").alias("max_ngram_repeat"),
+        )
+        .select(
+            id_col,
+            (F.col("__dup") / F.col("__tot")).alias("dup_ngram_char_frac"),
+            "max_ngram_repeat",
+        )
+    )
+    return top.join(dup, id_col, "inner")
+
+
+# PII patterns chosen from the Java-regex/RE2 common subset (no lookaround,
+# no backreferences) so the DuckDB oracle replays them exactly.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("phone", r"\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{3,4}[ -][0-9]{3,4}\b"),
+)
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact emails / IPv4s / intl-format phone numbers, count each kind.
+
+    The standard pre-training privacy scrub: every match is replaced by a
+    typed token (``<EMAIL>`` etc.) and counted.  Pure JVM regexps inside
+    one codegen'd projection — scan-bound at corpus scale.  Patterns are
+    deliberately conservative (high precision, ASCII word boundaries);
+    swap in a model-backed pandas UDF where a real PII model is available.
+    """
+    text = F.col(text_col)
+    redacted = text
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(F.regexp_count(text, F.lit(pat)).alias(f"n_{name}"))
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    return df.select(F.col(id_col), *counts, redacted.alias("redacted_text"))
+
+
 def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Content fingerprint: md5 of the sorted distinct token set.
 

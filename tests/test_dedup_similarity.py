@@ -155,6 +155,56 @@ def test_textstats(docs, spark):
     assert fps[0] != fps[1]
 
 
+def test_repetition_stats(spark):
+    from deep_ner_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "a b a b a b",   # bigram 'a b' x3 (9 ch) + 'b a' x2 (6 ch)
+                    "x y z w",       # no repetition at all
+                    "a b",           # too short for trigrams -> dropped
+                ],
+            }
+        )
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert abs(got[0]["top_ngram_char_frac"] - 9 / 15) < 1e-12
+    # trigrams of doc 0: 'a b a' x2 + 'b a b' x2 -> every occurrence duplicated
+    assert got[0]["dup_ngram_char_frac"] == 1.0
+    assert got[0]["max_ngram_repeat"] == 2
+    assert abs(got[1]["top_ngram_char_frac"] - 3 / 9) < 1e-12
+    assert got[1]["dup_ngram_char_frac"] == 0.0
+    assert got[1]["max_ngram_repeat"] == 1
+    assert 2 not in got  # shorter than the trigram order
+
+
+def test_redact_pii(spark):
+    from deep_ner_spark.operators.textstats import redact_pii
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": [
+                    "mail me at bob.smith@corp.io or 192.168.0.1 "
+                    "or +44 20-7946-0958 thanks",
+                    "nothing sensitive here",
+                ],
+            }
+        )
+    )
+    got = {r["doc_id"]: r for r in redact_pii(df, "doc_id", "text").collect()}
+    assert (got[0]["n_email"], got[0]["n_ipv4"], got[0]["n_phone"]) == (1, 1, 1)
+    assert got[0]["redacted_text"] == (
+        "mail me at <EMAIL> or <IPV4> or <PHONE> thanks"
+    )
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (0, 0, 0)
+    assert got[1]["redacted_text"] == "nothing sensitive here"
+
+
 def test_embedding_near_dup_pairs(spark):
     from deep_ner_spark.operators.similarity import embedding_near_dup_pairs
 

@@ -1,0 +1,77 @@
+"""Sequence packing (next-fit token binning) on hand-checkable inputs."""
+
+import pandas as pd
+import pytest
+
+
+def _docs(spark, counts):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(range(len(counts))),
+                "text": [" ".join(["w"] * c) for c in counts],
+            }
+        )
+    )
+
+
+def test_pack_sequences_next_fit(spark):
+    from deep_ner_spark.operators.packing import pack_sequences, packing_stats
+
+    df = _docs(spark, [5, 4, 3, 7, 2, 9])
+    got = {
+        r["doc_id"]: (r["bin_in_shard"], r["offset_in_bin"], r["n_tokens"])
+        for r in pack_sequences(df, "doc_id", "text", max_len=10, n_shards=1).collect()
+    }
+    assert got == {
+        0: (0, 0, 5),
+        1: (0, 5, 4),   # fits: 5+4 <= 10
+        2: (1, 0, 3),   # 9+3 > 10 -> new bin
+        3: (1, 3, 7),   # exactly fills bin 1
+        4: (2, 0, 2),
+        5: (3, 0, 9),   # 2+9 > 10 -> new bin
+    }
+    stats = packing_stats(
+        pack_sequences(df, "doc_id", "text", max_len=10, n_shards=1), max_len=10
+    ).collect()[0]
+    assert (stats["n_bins"], stats["n_docs"], stats["max_fill"]) == (4, 6, 10)
+    assert abs(stats["fill_ratio"] - 30 / 40) < 1e-12
+
+
+def test_pack_sequences_oversize_owns_bin(spark):
+    from deep_ner_spark.operators.packing import pack_sequences
+
+    df = _docs(spark, [3, 15, 4])
+    got = {
+        r["doc_id"]: (r["bin_in_shard"], r["offset_in_bin"])
+        for r in pack_sequences(df, "doc_id", "text", max_len=10, n_shards=1).collect()
+    }
+    # the 15-token doc overflows into its own bin; the next doc opens another
+    assert got == {0: (0, 0), 1: (1, 0), 2: (2, 0)}
+
+
+def test_pack_sequences_sharding_deterministic(spark):
+    from deep_ner_spark.operators.packing import pack_sequences
+
+    df = _docs(spark, [5, 4, 3, 7, 2, 9])
+    a = sorted(
+        tuple(r)
+        for r in pack_sequences(df.repartition(7), "doc_id", "text", 10, n_shards=2).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in pack_sequences(df.coalesce(1), "doc_id", "text", 10, n_shards=2).collect()
+    )
+    assert a == b  # layout is a pure function of the input, not parallelism
+    shards = {r[0]: r[1] for r in a}  # doc_id -> shard
+    assert shards == {i: i % 2 for i in range(6)}
+
+
+def test_pack_sequences_param_guards(spark):
+    from deep_ner_spark.operators.packing import pack_sequences
+
+    df = _docs(spark, [1])
+    with pytest.raises(ValueError, match="max_len"):
+        pack_sequences(df, "doc_id", "text", 0)
+    with pytest.raises(ValueError, match="n_shards"):
+        pack_sequences(df, "doc_id", "text", 10, n_shards=0)

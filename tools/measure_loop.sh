@@ -1,0 +1,24 @@
+#!/bin/bash
+# Unattended measurement loop: one cluster scaling pair (alternating the
+# canonical 4x2 geometry with the low-contention 4x1 probe), then one
+# bench.py floor session, repeated.  Run inside tmux so measurements keep
+# accumulating if the interactive session dies; both harnesses min-merge
+# into BENCH/*.json after every pair/session, so a kill loses at most the
+# in-flight measurement.
+set -u
+cd /root/repo
+LOG=${LOG:-/tmp/measure_loop.log}
+LOOPS=${LOOPS:-8}
+
+# wait for any already-running pair to finish (never overlap measurements)
+while pgrep -f "bench_cluster.py" >/dev/null 2>&1; do sleep 60; done
+
+for i in $(seq 1 "$LOOPS"); do
+  if [ $((i % 2)) -eq 1 ]; then GEOM=4x2 ITERS=5; else GEOM=4x1 ITERS=3; fi
+  echo "=== loop $i geom $GEOM $(date -u +%H:%M:%S)" >>"$LOG"
+  SCALING_CONVS=160000 CLUSTER_ITERS=$ITERS \
+    python bench_cluster.py --pairs 1 --geometry "$GEOM" --skip-start >>"$LOG" 2>&1
+  echo "--- bench floors $(date -u +%H:%M:%S)" >>"$LOG"
+  python bench.py >>"$LOG" 2>&1
+done
+echo "=== loop done $(date -u +%H:%M:%S)" >>"$LOG"
