@@ -959,6 +959,43 @@ def q_exact_dup_groups(spark, sf_dir):
 
 
 @_q(
+    "eval_contamination",
+    """
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t) - 3, 0)),
+               i -> array_to_string(t[i:i+3], ' '))) AS shingle
+        FROM toks)),
+    tr AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+    ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 20 = 0),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM tr GROUP BY 1),
+    hits AS (SELECT t.doc_id, count(DISTINCT t.shingle) AS n_shared,
+                    min(e.eval_id) AS min_eval_id
+             FROM tr t JOIN ev e USING (shingle) GROUP BY 1)
+    SELECT h.doc_id, n_shared, s.sz AS n_shingles,
+           n_shared / s.sz AS contam_frac, min_eval_id
+    FROM hits h JOIN sizes s USING (doc_id)
+    """,
+)
+def q_eval_contamination(spark, sf_dir):
+    """Benchmark decontamination: 4-gram overlap of the train split
+    (doc_id % 20 != 0) against the eval split (doc_id % 20 == 0)."""
+    from deep_ner_spark.operators.dedup import eval_contamination
+
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    ev = docs.where(F.col("doc_id") % 20 == 0)
+    out = eval_contamination(train, ev, "doc_id", "text", n=4)
+    return out.select(
+        "doc_id",
+        "n_shared",
+        "n_shingles",
+        "contam_frac",
+        F.col("min_eval_id").cast("long"),
+    )
+
+
+@_q(
     "jaccard_pairs",
     """
     WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),

@@ -639,3 +639,53 @@ def lsh_dedup_against_corpus(
         .distinct()
     )
     return new_df.join(dropped, id_col, "left_anti")
+
+
+def eval_contamination(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per-train-doc n-gram overlap with an
+    eval/benchmark set — (id, n_shared, n_shingles, contam_frac,
+    min_eval_id).  Only contaminated docs are returned (inner semantics);
+    anti-join the ids against the corpus to drop them.
+
+    The standard pre-training hygiene step (GPT-3 used 13-gram overlap):
+    any training document sharing a long word n-gram with a held-out
+    benchmark leaks the benchmark.  ``contam_frac`` = shared / total
+    distinct shingles of the train doc grades the severity;
+    ``min_eval_id`` names one offending eval doc for auditing.
+
+    Scale: eval sets are tiny next to the corpus, so the shingled eval
+    side broadcasts (``broadcast_eval``) and the corpus-side shingle
+    explode streams map-side — no corpus shuffle at all on the broadcast
+    path.  With a large eval set, the fallback is a shuffle join keyed by
+    the shingle hash (uniform by construction).
+    """
+    tr = doc_shingles(train_df, id_col, text_col, n)
+    ev = doc_shingles(eval_df, id_col, text_col, n).select(
+        F.col(id_col).alias("__eval_id"), "shingle"
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    return (
+        tr.join(ev, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("n_shared"),
+            # size is constant per doc (distinct-shingle count); max picks it
+            F.max("size").cast("long").alias("n_shingles"),
+            F.min("__eval_id").alias("min_eval_id"),
+        )
+        .select(
+            id_col,
+            "n_shared",
+            "n_shingles",
+            (F.col("n_shared") / F.col("n_shingles")).alias("contam_frac"),
+            "min_eval_id",
+        )
+    )

@@ -155,6 +155,40 @@ def test_textstats(docs, spark):
     assert fps[0] != fps[1]
 
 
+def test_eval_contamination(spark):
+    from deep_ner_spark.operators.dedup import eval_contamination
+
+    train = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["a b c d e f", "p q r s t u"],
+            }
+        )
+    )
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [100, 200],
+                "text": ["a b c d e x", "z a b c d e"],
+            }
+        )
+    )
+    got = {r["doc_id"]: r for r in
+           eval_contamination(train, ev, "doc_id", "text", n=5).collect()}
+    assert list(got) == [1]  # doc 2 shares nothing -> absent
+    r = got[1]
+    # doc 1's 5-grams: 'a b c d e', 'b c d e f'; both eval docs carry the first
+    assert (r["n_shared"], r["n_shingles"]) == (1, 2)
+    assert abs(r["contam_frac"] - 0.5) < 1e-12
+    assert r["min_eval_id"] == 100
+    # broadcast and shuffle paths agree
+    plain = {tuple(r) for r in
+             eval_contamination(train, ev, "doc_id", "text", n=5,
+                                broadcast_eval=False).collect()}
+    assert plain == {tuple(r) for r in got.values()}
+
+
 def test_repetition_stats(spark):
     from deep_ner_spark.operators.textstats import repetition_stats
 
