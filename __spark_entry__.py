@@ -868,6 +868,34 @@ def q_redact_pii(spark, sf_dir):
     )
 
 
+@_q(
+    "mixture_weights",
+    """
+    WITH g AS (
+      SELECT lang, count(*) AS n_docs,
+             sum(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))) AS n_tokens
+      FROM documents GROUP BY 1)
+    SELECT lang, n_docs, n_tokens,
+           n_tokens / sum(n_tokens) OVER () AS natural_frac,
+           (sum(n_tokens) OVER () / n_tokens) / count(*) OVER () AS mix_weight
+    FROM g
+    """,
+)
+def q_mixture_weights(spark, sf_dir):
+    """Data-mix reweighting: per-language token shares + the sampling
+    weights that reshape the corpus to a uniform language mixture."""
+    from deep_ner_spark.operators.textstats import mixture_weights
+
+    out = mixture_weights(_read(spark, sf_dir, "documents"), "lang", "text")
+    return out.select(
+        "lang",
+        F.col("n_docs").cast("long"),
+        F.col("n_tokens").cast("long"),
+        "natural_frac",
+        "mix_weight",
+    )
+
+
 # the next-fit recurrence shared by both packing oracles: DuckDB replays the
 # per-shard sequential scan as a recursive CTE carrying (bin, offset, fill)
 _PACK_REC_SQL = """

@@ -305,3 +305,47 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "fingerprint"
         ),
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    target: dict | None = None,
+) -> DataFrame:
+    """Per-group token shares + resampling weights for a target data mix.
+
+    The static data-mixing step of a pre-training pipeline: measure each
+    domain/language's natural token share, then emit the per-group sampling
+    weight that reshapes the corpus to ``target`` (group -> fraction;
+    ``None`` = uniform over observed groups).  weight_g = target_g /
+    natural_g, so weighted sampling with these weights yields the target
+    mixture in expectation.
+
+    Scale: ONE map-side-combined aggregation over the corpus; the window
+    functions below run on the aggregated frame (one row per group), which
+    is tiny at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    g = df.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count_col(F.col(text_col)).cast("long")).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    if target is None:
+        weight = (F.sum("n_tokens").over(w) / F.col("n_tokens")) / F.count(
+            F.lit(1)
+        ).over(w)
+    else:
+        tgt = F.create_map(
+            *[F.lit(x) for kv in target.items() for x in kv]
+        )[F.col(group_col)]
+        weight = tgt * F.sum("n_tokens").over(w) / F.col("n_tokens")
+    return g.select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.sum("n_tokens").over(w)).alias("natural_frac"),
+        weight.alias("mix_weight"),
+    )

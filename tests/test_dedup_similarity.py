@@ -215,6 +215,31 @@ def test_repetition_stats(spark):
     assert 2 not in got  # shorter than the trigram order
 
 
+def test_mixture_weights(spark):
+    from deep_ner_spark.operators.textstats import mixture_weights
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "lang": ["en", "en", "de"],
+                "text": ["a b c", "d e f", "x y"],  # en: 6 tokens, de: 2
+            }
+        )
+    )
+    got = {r["lang"]: r for r in mixture_weights(df, "lang", "text").collect()}
+    assert (got["en"]["n_docs"], got["en"]["n_tokens"]) == (2, 6)
+    assert abs(got["en"]["natural_frac"] - 6 / 8) < 1e-12
+    # uniform target: weight = (1/2) / (6/8) = 2/3 for en, (1/2)/(2/8) = 2 for de
+    assert abs(got["en"]["mix_weight"] - 2 / 3) < 1e-12
+    assert abs(got["de"]["mix_weight"] - 2.0) < 1e-12
+    # explicit target mix: 90% de
+    tgt = {r["lang"]: r["mix_weight"] for r in
+           mixture_weights(df, "lang", "text", target={"en": 0.1, "de": 0.9}).collect()}
+    assert abs(tgt["de"] - 0.9 * 8 / 2) < 1e-12
+    assert abs(tgt["en"] - 0.1 * 8 / 6) < 1e-12
+
+
 def test_redact_pii(spark):
     from deep_ner_spark.operators.textstats import redact_pii
 
