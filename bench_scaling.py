@@ -369,23 +369,38 @@ split.  Reproduce: `python bench_cluster.py` (starts master+worker via
             if len(geoms) > 1:
                 summary["cluster_geometries"] = {
                     g: s["floor_eff"] for g, s in geoms.items()}
+                summary["cluster_eff_vs_md5_ceiling"] = {
+                    g: s["median_eff_vs_md5_ceiling"]
+                    for g, s in geoms.items()
+                    if s.get("median_eff_vs_md5_ceiling") is not None}
+
+                def _ceil_cell(s):
+                    v = s.get("median_eff_vs_md5_ceiling")
+                    n = s.get("n_ceiling_pairs", 0)
+                    return f"{v:.3f} ({n}p)" if v is not None else "—"
+
                 geom_rows = "\n".join(
                     f"| {g} ({s['a']['n_executors']}x{s['a']['executor_cores']}c"
                     f" -> {s['b']['n_executors']}x{s['b']['executor_cores']}c)"
                     f" | {s['floor_eff']:.3f} | {s['paired_median']:.3f}"
-                    f" | {s['paired_best']:.3f} | {s['n_pairs']} |"
+                    f" | {s['paired_best']:.3f} | {_ceil_cell(s)}"
+                    f" | {s['n_pairs']} |"
                     for g, s in sorted(geoms.items()))
                 cluster_md += f"""
 ### Executor-geometry probe (same 4x total-core scale-up, different JVM split)
 
-| geometry (A -> B) | floor eff | paired median | paired best | n pairs |
-|---|---|---|---|---|
+| geometry (A -> B) | floor eff | paired median | paired best | median eff/ceiling | n pairs |
+|---|---|---|---|---|---|
 {geom_rows}
 
 Same flagship job and determinism checksum in every geometry; each B side
-has 4x its A side's total cores, so all rows answer the same N -> 4N
-question with a different executor-JVM split — probing which layout the
-box's memory controller favors.
+has 4x its A side's total cores (except 4x1's 1 -> 4, deliberately the
+lowest-contention reading), so all rows answer the same N -> 4N executor
+question with a different JVM split.  "eff/ceiling" normalizes each pair
+by an md5-burn hardware ceiling measured seconds after it at the SAME
+core-count transition (bench_cluster.md5_ceiling): a value ~1.0 means the
+engine extracts all the parallel capacity the host offers in that window
+and the residual vs the 0.8 bar is the shared box, not the engine.
 """
     best_pair = max(effs, key=effs.get)
     md = f"""# BENCH — measured numbers (sandbox: single node, {os.cpu_count()} cores, local mode)
