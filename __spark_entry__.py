@@ -869,6 +869,51 @@ def q_redact_pii(spark, sf_dir):
 
 
 @_q(
+    "chunk_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+      FROM documents),
+    st AS (
+      SELECT doc_id, t, len(t) AS n, unnest(range(0, len(t), 24)) AS s FROM toks)
+    SELECT doc_id,
+           s // 24 AS chunk_idx,
+           least(32, n - s) AS n_tokens,
+           array_to_string(t[s+1 : s+32], ' ') AS chunk_text
+    FROM st
+    """,
+)
+def q_chunk_documents(spark, sf_dir):
+    """Pre-packing chunker: 32-token chunks with 8-token overlap."""
+    from deep_ner_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _read(spark, sf_dir, "documents"), "doc_id", "text",
+        max_tokens=32, overlap=8,
+    )
+
+
+@_q(
+    "term_frequencies",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS token
+      FROM documents),
+    c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1 HAVING count(*) >= 5)
+    SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+    FROM c
+    """,
+)
+def q_term_frequencies(spark, sf_dir):
+    """Corpus unigram frequencies with deterministic rank (vocab fitting)."""
+    from deep_ner_spark.operators.textstats import term_frequencies
+
+    out = term_frequencies(_read(spark, sf_dir, "documents"), "text", min_count=5)
+    return out.select("token", "cnt", F.col("rank").cast("long"))
+
+
+@_q(
     "mixture_weights",
     """
     WITH g AS (

@@ -105,3 +105,59 @@ def packing_stats(packed: DataFrame, max_len: int) -> DataFrame:
         (F.sum("fill") / (F.count("*") * F.lit(max_len))).alias("fill_ratio"),
         F.max("fill").alias("max_fill"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split long documents into max_tokens-sized chunks with ``overlap``
+    shared tokens between consecutive chunks — the pre-packing chunker for
+    docs longer than the training sequence (see :func:`pack_sequences`).
+
+    (doc_id, chunk_idx, n_tokens, chunk_text) per chunk; chunk_text is the
+    space-join of the chunk's whitespace tokens (whitespace normalized).
+    Empty documents produce no chunks.
+
+    Scale: one codegen'd projection per doc (HOF transform over the chunk
+    starts) + explode — no shuffle at all; output partitioning follows the
+    scan.  explode_outer + null filter on the OUTPUT attribute avoids the
+    InferFiltersFromGenerate triple-eval of the HOF chain.
+    """
+    from deep_ner_spark.operators.dedup import tokens_col
+
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"overlap must be in [0, max_tokens), got {overlap}")
+    step = max_tokens - overlap
+
+    base = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("__t")
+    ).select(id_col, "__t", F.size("__t").alias("__n"))
+    starts = F.when(
+        F.col("__n") >= 1,
+        F.sequence(F.lit(0), F.col("__n") - 1, F.lit(step)),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / step).cast("long").alias("chunk_idx"),  # s is a multiple of step
+            F.least(F.lit(max_tokens), F.col("__n") - s).cast("long").alias(
+                "n_tokens"
+            ),
+            F.concat_ws(" ", F.slice("__t", s + 1, max_tokens)).alias(
+                "chunk_text"
+            ),
+        ),
+    )
+    out = base.select(id_col, F.explode_outer(chunks).alias("__c"))
+    return out.where(F.col("__c").isNotNull()).select(
+        id_col,
+        F.col("__c.chunk_idx").alias("chunk_idx"),
+        F.col("__c.n_tokens").alias("n_tokens"),
+        F.col("__c.chunk_text").alias("chunk_text"),
+    )

@@ -349,3 +349,33 @@ def mixture_weights(
         (F.col("n_tokens") / F.sum("n_tokens").over(w)).alias("natural_frac"),
         weight.alias("mix_weight"),
     )
+
+
+def term_frequencies(
+    df: DataFrame, text_col: str, min_count: int = 1
+) -> DataFrame:
+    """Corpus term frequencies: (token, cnt, rank) — the unigram substrate
+    for tokenizer/vocab fitting and frequency-based filtering.
+
+    rank is dense over (cnt DESC, token ASC) — fully deterministic.
+
+    Scale: the count is a map-side-combined hash agg keyed by token (Zipf
+    skew is absorbed by partial aggregation — each map task emits one row
+    per distinct token, so the hot token's shuffle volume is n_tasks, not
+    n_occurrences).  The global rank window sorts only the FILTERED vocab:
+    pass a real ``min_count`` (or cap downstream) so the single-partition
+    sort sees vocab-sized input, not corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode_outer(tokens_col(F.col(text_col))).alias("token")
+    )
+    counts = (
+        toks.where(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return counts.select("token", "cnt", F.row_number().over(w).alias("rank"))

@@ -67,6 +67,56 @@ def test_pack_sequences_sharding_deterministic(spark):
     assert shards == {i: i % 2 for i in range(6)}
 
 
+def test_chunk_documents(spark):
+    from deep_ner_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10",  # 10 tokens
+                    "only",
+                    "",  # empty -> no chunks
+                ],
+            }
+        )
+    )
+    got = {(r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+           for r in chunk_documents(df, "doc_id", "text", 4, overlap=1).collect()}
+    assert got == {
+        (0, 0): (4, "t1 t2 t3 t4"),
+        (0, 1): (4, "t4 t5 t6 t7"),   # 1-token overlap (step 3)
+        (0, 2): (4, "t7 t8 t9 t10"),
+        (0, 3): (1, "t10"),
+        (1, 0): (1, "only"),
+    }
+
+
+def test_chunk_documents_guards(spark):
+    from deep_ner_spark.operators.packing import chunk_documents
+
+    df = _docs(spark, [3])
+    with pytest.raises(ValueError, match="max_tokens"):
+        chunk_documents(df, "doc_id", "text", 0)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "doc_id", "text", 4, overlap=4)
+
+
+def test_term_frequencies(spark):
+    from deep_ner_spark.operators.textstats import term_frequencies
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["a b a", "b c"]})
+    )
+    got = [(r["token"], r["cnt"], r["rank"])
+           for r in term_frequencies(df, "text").orderBy("rank").collect()]
+    # count ties broken by token asc
+    assert got == [("a", 2, 1), ("b", 2, 2), ("c", 1, 3)]
+    filtered = term_frequencies(df, "text", min_count=2).collect()
+    assert sorted(r["token"] for r in filtered) == ["a", "b"]
+
+
 def test_pack_sequences_param_guards(spark):
     from deep_ner_spark.operators.packing import pack_sequences
 
