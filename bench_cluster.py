@@ -150,7 +150,10 @@ def run_config(n_exec: int, exec_cores: int, n_iter: int = 3) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", CHILD, str(REPO), str(n_exec), str(exec_cores),
          str(N_CONVS), str(n_iter)],
-        capture_output=True, text=True, timeout=3600, cwd=str(REPO))
+        # generous: a host-noise-polluted A side at 5 iters can exceed an
+        # hour; its slow samples are discarded by min-merge, but timing out
+        # forfeits the whole pair including the B side
+        capture_output=True, text=True, timeout=7200, cwd=str(REPO))
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not lines:
         raise RuntimeError(f"child failed: {out.stderr[-3000:]}")
