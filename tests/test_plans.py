@@ -188,3 +188,46 @@ def test_jaccard_default_uses_prefix_filtering(spark):
         out = jaccard_pairs(df, "doc_id", "text", n=2, threshold=t, materialize=False)
         plan = plan_of(out)
         assert "row_number" in plan, f"t={t}: prefix ranking missing\n{plan[:500]}"
+
+
+def test_chunk_documents_zero_exchange(spark):
+    """The chunker is a pure projection + generate: no shuffle at any
+    corpus size (output partitioning follows the scan)."""
+    from deep_ner_spark.operators.packing import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(chunk_documents(docs, "doc_id", "text", 32, overlap=8))
+    assert exchanges(plan) == [], plan
+    # explode_outer (Generate's outer flag true), not plain explode: no
+    # inferred filter re-evaluating the HOF chain per row
+    gen_args = re.search(r"Arguments: explode\(.*\], (\w+), \[", plan)
+    assert gen_args and gen_args.group(1) == "true", plan
+
+
+def test_eval_contamination_broadcasts_eval_side(spark):
+    """The shingled eval set must broadcast: the corpus side streams
+    map-side with no corpus shuffle before the per-doc aggregation."""
+    from deep_ner_spark.operators.dedup import eval_contamination
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = eval_contamination(
+        docs.where(F.col("doc_id") % 20 != 0),
+        docs.where(F.col("doc_id") % 20 == 0),
+        "doc_id", "text", n=4,
+    )
+    plan = plan_of(out)
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pack_sequences_single_exchange_no_text(spark):
+    """Packing shuffles ONCE, keyed by shard, and only the slim
+    (id, token-count) columns cross the exchange — never text."""
+    from deep_ner_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(pack_sequences(docs, "doc_id", "text", 128, n_shards=8))
+    ex = exchanges(plan)
+    hash_ex = [e for e in ex if e[0] == "hashpartitioning"]
+    assert len(hash_ex) == 1 and "shard" in hash_ex[0][1], ex
+    assert "text" not in hash_ex[0][1]
