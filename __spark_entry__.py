@@ -1914,6 +1914,63 @@ def q_lsh_cosine_topk_exhaustive(spark, sf_dir):
 
 
 @_q(
+    "multimodal_video_frames",
+    """
+    WITH d AS (
+      SELECT doc_id AS media_id, md5(text) AS seedh,
+             8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+             4 + doc_id % 5 AS nf
+      FROM documents WHERE doc_id < 64),
+    fr AS (
+      SELECT media_id, seedh, w, h, nf, ks.k AS sample_idx,
+             (ks.k * nf) // 4 AS frame_idx
+      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) ks),
+    fs AS (
+      SELECT *, md5(seedh || ':f' || frame_idx) AS fseed,
+             h * w AS n, (h * w + 15) // 16 AS blocks
+      FROM fr),
+    blk AS (
+      SELECT media_id, sample_idx, frame_idx, n, fseed,
+             unnest(generate_series(0, blocks - 1)) AS b
+      FROM fs),
+    hx AS (SELECT *, md5(fseed || ':' || b) AS bh FROM blk),
+    byt AS (
+      SELECT media_id, sample_idx, frame_idx, n, b * 16 + js.j AS idx,
+             (strpos('0123456789abcdef', substr(bh, 2 * js.j + 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(bh, 2 * js.j + 2, 1)) - 1) AS val
+      FROM hx CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) js)
+    SELECT media_id, CAST(sample_idx AS INT) AS sample_idx,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(CAST(sum(val) AS DOUBLE) / count(*) AS REAL) AS mean_intensity
+    FROM byt WHERE idx < n
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_multimodal_video_frames(spark, sf_dir):
+    """Binary video column -> uniform frame sample -> per-frame mean
+    intensity through the real mapInPandas plumbing.  The video seam's
+    deterministic fake derives each frame from an md5 chain seeded by
+    (md5(content), frame_idx) — seek-addressable like keyframes — so the
+    DuckDB twin recomputes every sampled frame's integer pixel sum and the
+    one double division bit-exactly (multimodal.py ``_decode_video_frame``)."""
+    from deep_ner_spark.operators.multimodal import video_frame_sample
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit("fake").alias("codec"),
+            (8 + F.col("doc_id") % 9).cast("int").alias("width"),
+            (8 + F.col("doc_id") % 7).cast("int").alias("height"),
+            (4 + F.col("doc_id") % 5).cast("int").alias("n_frames"),
+            F.lit(25.0).cast("float").alias("fps"),
+        ).alias("meta"),
+    )
+    return video_frame_sample(media, n_out=4)
+
+
+@_q(
     "multimodal_image_features",
     """
     WITH d AS (

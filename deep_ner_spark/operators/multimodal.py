@@ -212,3 +212,98 @@ def gen_fake_media(spark, n: int = 64, seed: int = 42, kind: str = "image") -> D
             rows.append((i, bytearray(blob), ("pcm16", 16000, ns)))
     schema = IMAGE_SCHEMA if kind == "image" else AUDIO_SCHEMA
     return spark.createDataFrame(rows, schema=schema)
+
+
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("codec", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                    T.StructField("fps", T.FloatType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def _decode_video_frame(content: bytes, frame_idx: int, width: int, height: int) -> np.ndarray:
+    """[h, w] uint8 grayscale frame.  Real impl: ffmpeg/pyav seek+decode.
+
+    Fake: per-frame md5 chain seeded by (md5(content), frame_idx) — every
+    frame is independently addressable without decoding its predecessors,
+    mirroring keyframe seeks, and any engine with md5 can recompute it.
+    """
+    if not DETERMINISTIC_FAKE:
+        raise NotImplementedError("video codec not available in this container")
+    seed_hex = hashlib.md5(content).hexdigest()
+    frame_key = f"{seed_hex}:f{frame_idx}".encode()
+    return _md5_chain_bytes(frame_key, height * width).reshape(height, width)
+
+
+def video_frame_sample(df: DataFrame, n_out: int = 4) -> DataFrame:
+    """Uniformly sample ``n_out`` frames per video and decode each to a
+    mean-intensity scalar — the frame-sampling front-end of a video
+    embedding pipeline (sample -> decode -> per-frame features).
+
+    Sampled indices are ``(k * n_frames) // n_out`` for k in [0, n_out) —
+    deterministic, order-free, and seek-addressable (no sequential decode).
+    Narrow ``mapInPandas`` pass: blobs never shuffle; one row per
+    (media_id, sample_idx).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("sample_idx", T.IntegerType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("mean_intensity", T.FloatType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sidx, fidx, means = [], [], [], []
+            for mid, content, meta in zip(
+                pdf["media_id"], pdf["content"], pdf["meta"]
+            ):
+                w, h = int(meta["width"]), int(meta["height"])
+                nf = int(meta["n_frames"])
+                for k in range(n_out):
+                    f = (k * nf) // n_out
+                    frame = _decode_video_frame(content, f, w, h)
+                    # integer sum then ONE double division (not np.mean's
+                    # pairwise summation) so the SQL twin is bit-exact
+                    mean = np.float32(int(frame.astype(np.int64).sum()) / (w * h))
+                    ids.append(mid)
+                    sidx.append(k)
+                    fidx.append(f)
+                    means.append(float(mean))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "sample_idx": pd.Series(sidx, dtype="int32"),
+                    "frame_idx": pd.Series(fidx, dtype="int32"),
+                    "mean_intensity": pd.Series(means, dtype="float32"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def gen_fake_video(spark, n: int = 16, seed: int = 42) -> DataFrame:
+    """Deterministic fake video table for tests/benchmarks."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        blob = rng.integers(0, 256, size=int(rng.integers(512, 2048)), dtype=np.uint8).tobytes()
+        w, h = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+        nf = int(rng.integers(4, 40))
+        rows.append((i, bytearray(blob), ("fake", w, h, nf, 25.0)))
+    return spark.createDataFrame(rows, schema=VIDEO_SCHEMA)

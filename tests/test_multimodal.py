@@ -65,3 +65,32 @@ def test_codec_seam_raises_without_fake(monkeypatch):
         mm._decode_image(b"xx", 4, 4)
     with pytest.raises(NotImplementedError):
         mm._decode_audio(b"xx", 100)
+
+
+def test_video_frame_sample(spark):
+    import numpy as np
+
+    from deep_ner_spark.operators import multimodal as mm
+
+    vids = mm.gen_fake_video(spark, n=6, seed=5)
+    out = mm.video_frame_sample(vids, n_out=4)
+    rows = out.collect()
+    assert len(rows) == 6 * 4
+    # uniform sampling: frame_idx = (k * n_frames) // 4, strictly within range
+    meta = {r["media_id"]: r["meta"] for r in vids.collect()}
+    for r in rows:
+        nf = meta[r["media_id"]]["n_frames"]
+        assert r["frame_idx"] == (r["sample_idx"] * nf) // 4
+        assert 0 <= r["frame_idx"] < nf
+    # bit-exact against a hand computation through the decode seam
+    v0 = vids.where("media_id = 0").collect()[0]
+    w, h = v0["meta"]["width"], v0["meta"]["height"]
+    frame = mm._decode_video_frame(bytes(v0["content"]), 0, w, h)
+    want = np.float32(int(frame.astype(np.int64).sum()) / (w * h))
+    got = [r for r in rows if r["media_id"] == 0 and r["sample_idx"] == 0][0]
+    assert got["mean_intensity"] == want
+    # determinism across runs
+    again = {(r["media_id"], r["sample_idx"]): r["mean_intensity"]
+             for r in mm.video_frame_sample(vids, n_out=4).collect()}
+    assert all(again[(r["media_id"], r["sample_idx"])] == r["mean_intensity"]
+               for r in rows)
