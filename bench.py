@@ -206,6 +206,9 @@ def run(spark) -> dict:
         # the reference's flagship entry point (E1): featurize -> linear
         # head -> Viterbi -> BIO decode end-to-end, first-class since r5
         "predict_entities",
+        # the HOF-heaviest LLM-pipeline scan path (transform + slice +
+        # explode per doc): catches interpreted-HOF regressions at volume
+        "chunk_documents",
     ):
         # warm each query's plan shapes (codegen/JIT/localCheckpoint paths)
         # on the tiny sf before timing: the first run of a shape is ~2x
