@@ -170,10 +170,13 @@ def rolling_fingerprint(
     return df.select(F.col(id_col), fp(F.col(text_col)).alias("rolling_fp"))
 
 
-def ngrams_col(text: Column, n: int) -> Column:
-    """Word n-grams WITH multiplicity (unlike dedup.shingles_col, which is
-    distinct — repetition stats need occurrence counts)."""
-    toks = tokens_col(text)
+def ngrams_of_tokens(toks: Column, n: int) -> Column:
+    """Word n-grams WITH multiplicity from a token-array column (unlike
+    dedup.shingles_col, which is distinct — repetition stats need
+    occurrence counts).  Pass an ATTRIBUTE (a projected token array), not
+    an expression: HOF lambdas get no common-subexpression elimination, so
+    an embedded split+filter would re-run per gram element (measured 8x on
+    repetition_stats at sf0.1)."""
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     # sequence(0, neg) counts DOWN — gate short docs to an empty array
@@ -185,13 +188,17 @@ def ngrams_col(text: Column, n: int) -> Column:
 def _gram_counts(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, gram, cnt, len) occurrence counts of word n-grams.
 
-    explode_outer (no InferFiltersFromGenerate triple-eval of the HOF
-    chain) + null filter on the OUTPUT attribute, then a hash agg keyed by
-    (id, gram) — uniform key, map-side combined, no skew at corpus scale.
+    Tokens are projected ONCE as an attribute before the n-gram transform
+    (HOF no-CSE trap); explode_outer (no InferFiltersFromGenerate
+    triple-eval) + null filter on the OUTPUT attribute, then a hash agg
+    keyed by (id, gram) — uniform key, map-side combined, no skew at
+    corpus scale.
     """
-    base = df.select(
-        F.col(id_col), ngrams_col(F.col(text_col), n).alias("__g")
-    ).select(id_col, F.explode_outer("__g").alias("gram"))
+    base = (
+        df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("__toks"))
+        .select(id_col, ngrams_of_tokens(F.col("__toks"), n).alias("__g"))
+        .select(id_col, F.explode_outer("__g").alias("gram"))
+    )
     return (
         base.where(F.col("gram").isNotNull())
         .groupBy(id_col, "gram")
@@ -221,48 +228,62 @@ def repetition_stats(
     * ``max_ngram_repeat`` — occurrence count of the most repeated
       ``dup_n``-gram (integer; the cheap threshold most filters gate on).
 
-    Documents shorter than the n-gram order drop out (no grams to count),
-    matching the usual filter behavior of skipping too-short docs.
+    Documents shorter than ``dup_n`` drop out (no grams to count), matching
+    the usual filter behavior of skipping too-short docs.
 
-    Scale: two explode+hash-agg passes keyed by (id, gram) then id —
-    uniformly distributed keys, partial aggregation on both, no per-doc
-    quadratic HOF work, so long documents cost O(len), not O(len^2).
+    Scale: ONE tokenize+explode pass emits both n-gram orders tagged by n
+    (the tokens are projected once — HOF no-CSE), then two hash aggs keyed
+    by (id, n, gram) and id — uniformly distributed keys, partial
+    aggregation on both, no per-doc quadratic HOF work, so long documents
+    cost O(len), not O(len^2).
     """
-    top = (
-        _gram_counts(df, id_col, text_col, top_n)
-        .groupBy(id_col)
-        .agg(
-            F.sum(F.col("cnt") * F.col("len")).alias("__tot_top"),
-            F.max(F.col("cnt") * _TIE_BASE + F.col("cnt") * F.col("len")).alias(
-                "__key"
+    toks = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("__toks")
+    )
+    both = toks.select(
+        id_col,
+        F.concat(
+            F.transform(
+                ngrams_of_tokens(F.col("__toks"), top_n),
+                lambda g: F.struct(F.lit(top_n).alias("n"), g.alias("gram")),
             ),
-        )
+            F.transform(
+                ngrams_of_tokens(F.col("__toks"), dup_n),
+                lambda g: F.struct(F.lit(dup_n).alias("n"), g.alias("gram")),
+            ),
+        ).alias("__gs"),
+    ).select(id_col, F.explode_outer("__gs").alias("__g"))
+    counts = (
+        both.where(F.col("__g").isNotNull())
+        .groupBy(id_col, "__g")
+        .agg(F.count("*").alias("cnt"))
         .select(
             id_col,
-            ((F.col("__key") % _TIE_BASE) / F.col("__tot_top")).alias(
-                "top_ngram_char_frac"
-            ),
+            F.col("__g.n").alias("n"),
+            F.col("cnt"),
+            (F.length("__g.gram")).alias("len"),
         )
     )
-    dup = (
-        _gram_counts(df, id_col, text_col, dup_n)
-        .groupBy(id_col)
-        .agg(
-            F.sum(F.col("cnt") * F.col("len")).alias("__tot"),
-            F.sum(
-                F.when(F.col("cnt") > 1, F.col("cnt") * F.col("len")).otherwise(
-                    F.lit(0)
-                )
-            ).alias("__dup"),
-            F.max("cnt").alias("max_ngram_repeat"),
-        )
-        .select(
-            id_col,
-            (F.col("__dup") / F.col("__tot")).alias("dup_ngram_char_frac"),
-            "max_ngram_repeat",
-        )
+    is_top, is_dup = F.col("n") == top_n, F.col("n") == dup_n
+    vol = F.col("cnt") * F.col("len")
+    agg = counts.groupBy(id_col).agg(
+        F.sum(F.when(is_top, vol)).alias("__tot_top"),
+        F.max(F.when(is_top, F.col("cnt") * _TIE_BASE + vol)).alias("__key"),
+        F.sum(F.when(is_dup, vol)).alias("__tot"),
+        F.sum(F.when(is_dup & (F.col("cnt") > 1), vol).otherwise(
+            F.when(is_dup, F.lit(0)))).alias("__dup"),
+        F.max(F.when(is_dup, F.col("cnt"))).alias("max_ngram_repeat"),
     )
-    return top.join(dup, id_col, "inner")
+    # inner-join semantics of the two-pass form: a doc must have dup_n-grams
+    # (len >= dup_n implies len >= top_n for the default orders)
+    return agg.where(F.col("__tot").isNotNull() & F.col("__tot_top").isNotNull()).select(
+        id_col,
+        ((F.col("__key") % _TIE_BASE) / F.col("__tot_top")).alias(
+            "top_ngram_char_frac"
+        ),
+        (F.col("__dup") / F.col("__tot")).alias("dup_ngram_char_frac"),
+        "max_ngram_repeat",
+    )
 
 
 # PII patterns chosen from the Java-regex/RE2 common subset (no lookaround,
