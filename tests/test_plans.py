@@ -231,3 +231,25 @@ def test_pack_sequences_single_exchange_no_text(spark):
     hash_ex = [e for e in ex if e[0] == "hashpartitioning"]
     assert len(hash_ex) == 1 and "shard" in hash_ex[0][1], ex
     assert "text" not in hash_ex[0][1]
+
+
+def test_term_frequencies_partial_aggregation(spark):
+    """The token count must map-side combine: the shuffle moves
+    (token, count) pairs, not token occurrences (Zipf-skew-proof)."""
+    from deep_ner_spark.operators.textstats import term_frequencies
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(term_frequencies(docs, "text", min_count=3))
+    assert "partial_count" in plan or "Partial" in plan, plan
+
+
+def test_repetition_stats_two_exchanges(spark):
+    """Fused repetition stats: ONE tagged explode feeding exactly two hash
+    exchanges — (id, n, gram) then id — and no join."""
+    from deep_ner_spark.operators.textstats import repetition_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(repetition_stats(docs, "doc_id", "text"))
+    hash_ex = [e for e in exchanges(plan) if e[0] == "hashpartitioning"]
+    assert len(hash_ex) == 2, hash_ex
+    assert "Join" not in plan.split("== Initial Plan ==")[0], plan
