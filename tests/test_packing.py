@@ -125,3 +125,47 @@ def test_pack_sequences_param_guards(spark):
         pack_sequences(df, "doc_id", "text", 0)
     with pytest.raises(ValueError, match="n_shards"):
         pack_sequences(df, "doc_id", "text", 10, n_shards=0)
+
+
+def test_chunk_stitching_reconstructs_tokens(spark):
+    """Codec law: dropping each non-first chunk's first `overlap` tokens
+    and concatenating in chunk order reproduces the original token list."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from deep_ner_spark.operators.packing import chunk_documents
+
+    chunks = chunk_documents(docs, "doc_id", "text", 16, overlap=4).collect()
+    by_doc = {}
+    for r in sorted(chunks, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        toks = r["chunk_text"].split(" ")
+        if r["chunk_idx"] > 0:
+            toks = toks[4:]
+        by_doc.setdefault(r["doc_id"], []).extend(toks)
+    want = {
+        r["doc_id"]: [t for t in r["text"].split() if t]
+        for r in docs.collect()
+        if r["text"].strip()
+    }
+    assert by_doc == want
+
+
+def test_pack_sequences_invariants_on_corpus(spark):
+    """Every bin fits max_len unless it holds a single oversize doc;
+    offsets tile each bin exactly; every doc packed exactly once."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from deep_ner_spark.operators.packing import pack_sequences
+
+    max_len = 100
+    rows = pack_sequences(docs, "doc_id", "text", max_len, n_shards=4).collect()
+    assert len(rows) == docs.count()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    bins = {}
+    for r in rows:
+        bins.setdefault((r["shard"], r["bin_in_shard"]), []).append(r)
+    for members in bins.values():
+        members.sort(key=lambda r: r["offset_in_bin"])
+        fill = sum(r["n_tokens"] for r in members)
+        assert fill <= max_len or len(members) == 1  # oversize owns its bin
+        off = 0
+        for r in members:
+            assert r["offset_in_bin"] == off  # offsets tile the bin exactly
+            off += r["n_tokens"]
