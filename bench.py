@@ -257,6 +257,36 @@ def run(spark) -> dict:
     return result
 
 
+def compact(result: dict) -> dict:
+    """The driver captures only a short tail of stdout, so the ONE printed
+    JSON line must stay well under ~1.5 KB (r5's line embedded the full
+    59-query block and was truncated past parseability).  Emit the headline
+    floors + totals + fingerprint; the full session detail — per-query
+    session timings, the complete sf0.01 sweep — is persisted to
+    BENCH/bench_last_session.json and min-merged into BENCH/query_floors.json
+    by merge_query_floors, so nothing is lost, only de-inlined."""
+    allq = result.get("all_queries_sf001") or {}
+    line = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "value_is": result["value_is"],
+        "value_session": result["value_session"],
+        "unit": result["unit"],
+        "queries": result["queries"],
+        "sf": result["sf"],
+        "n_turns": result["n_turns"],
+        "turns_per_sec": result["turns_per_sec"],
+        "cpus": result["cpus"],
+        "fp": result["floor_protocol"]["fingerprint"],
+        "n_sessions": result["floor_protocol"]["n_sessions"],
+    }
+    if allq:
+        line["allq_sf001_total"] = allq["total"]
+        line["allq_sf001_total_session"] = allq["total_session"]
+        line["allq_sf001_n"] = len(allq["queries"])
+    return line
+
+
 def run_all_queries(spark) -> dict:
     """Floor-track EVERY driver-contract entry at sf0.01 (the correctness
     scale) so a perf regression in any of the 45 queries — not just the 10
@@ -300,7 +330,12 @@ def main():
     # warm the JVM/Arrow paths so the measurement isn't first-query JIT
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     result = run(spark)
-    print(json.dumps(result))
+    full_path = Path(__file__).resolve().parent / "BENCH" / "bench_last_session.json"
+    full_path.parent.mkdir(exist_ok=True)
+    full_path.write_text(json.dumps(result, indent=1))
+    line = json.dumps(compact(result))
+    assert len(line) < 1500, f"driver line too long: {len(line)}B"
+    print(line)
     spark.stop()
 
 

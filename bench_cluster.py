@@ -277,6 +277,14 @@ def main():
 
 
 def summarize_and_persist(hist: dict, hist_path: Path) -> None:
+    # persist the raw history FIRST: the summary below anchors on the
+    # canonical exec1x2 config, which doesn't exist yet on a fresh history
+    # whose first pairs use another geometry (e.g. --geometry 4x1) — a
+    # KeyError there must not lose the just-measured pair
+    hist_path.parent.mkdir(exist_ok=True)
+    hist_path.write_text(json.dumps(hist, indent=1))
+    if "exec1x2" not in hist["configs"]:
+        return
     chk = hist["configs"]["exec1x2"]["checksum"]
 
     def geom_summary(geom: str) -> dict | None:
@@ -317,9 +325,7 @@ def summarize_and_persist(hist: dict, hist_path: Path) -> None:
 
     geoms = {g: s for g in GEOMETRIES if (s := geom_summary(g)) is not None}
     if "4x2" not in geoms:
-        hist_path.parent.mkdir(exist_ok=True)
-        hist_path.write_text(json.dumps(hist, indent=1))
-        return
+        return  # raw history already persisted above
     canon = geoms["4x2"]
     summary = {
         "metric": "scaling_efficiency_1_to_4_executor_JVMs",

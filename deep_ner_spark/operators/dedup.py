@@ -284,6 +284,22 @@ def connected_components(
     exponentially across iterations — the standard iterative-algorithm
     pattern on Spark.
     """
+    # the label-sum convergence scalar below needs integral node ids: with a
+    # string id column (ANSI off) the decimal cast yields NULL per row, the
+    # sum is NULL every round, and None == None would break the loop after
+    # one iteration returning silently unconverged clusters — fail fast
+    # instead (hash string ids to long, e.g. xxhash64, before calling)
+    from pyspark.sql import types as T
+
+    id_type = {f.name: f.dataType for f in nodes.schema.fields}.get(id_col)
+    if not isinstance(
+        id_type,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
+    ):
+        raise TypeError(
+            f"connected_components needs an integral id column; {id_col!r} "
+            f"is {id_type} — hash it to long (e.g. F.xxhash64) first"
+        )
     sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = sym.union(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))

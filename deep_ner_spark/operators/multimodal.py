@@ -3,10 +3,21 @@
 Images / audio / video ride as opaque ``binary`` columns with typed
 metadata structs.  The Spark-side plumbing — schemas, partition-preserving
 Arrow batches, UDF signatures, deterministic batch shapes — is real and
-tested; the actual codec calls (PIL/ffmpeg/soundfile are not in this
-container) are isolated behind ``_decode_*`` seams that raise
-``NotImplementedError`` unless a deterministic fake is enabled, so swapping
-in a real codec changes one function, not the pipeline.
+tested.  The ``_decode_*`` seams dispatch on the blob's actual container
+magic:
+
+- PNG -> Pillow when importable, else a stdlib (zlib+struct) PNG decoder
+  (8-bit gray/RGB/RGBA, all 5 scanline filters, non-interlaced);
+- JPEG -> Pillow, or ``NotImplementedError`` naming the missing dep;
+- RIFF/WAVE -> soundfile when importable, else the stdlib ``wave`` module
+  (8/16-bit PCM, first channel);
+- anything unrecognized -> the md5-chain deterministic fake (when
+  ``DETERMINISTIC_FAKE``), which is what the hermetic driver oracles pin.
+
+So real PNG/WAV content decodes for real even in this dependency-free
+container, and swapping in a full codec stack (Pillow/soundfile/pyav)
+changes nothing but availability.  Video has no stdlib codec; its seam
+stays fake-or-raise.
 
 Scale notes: media blobs are the heaviest columns a pipeline carries, so
 every operator here is a narrow ``mapInPandas`` pass (no shuffle, blobs
@@ -78,17 +89,142 @@ def _md5_chain_bytes(content: bytes, n: int) -> np.ndarray:
     return np.frombuffer(buf[:n], dtype=np.uint8)
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_JPEG_MAGIC = b"\xff\xd8\xff"
+
+
+def _png_decode(data: bytes) -> np.ndarray:
+    """Minimal correct PNG decode -> [h, w, 3] uint8 using only stdlib
+    zlib/struct: 8-bit grayscale(0)/RGB(2)/RGBA(6), non-interlaced, all 5
+    scanline filter types per the PNG spec §9 (None/Sub/Up/Average/Paeth).
+    Grayscale broadcasts to 3 channels; alpha is dropped.  Test-path
+    Python-loop unfiltering is fine — decode is a Python seam by design."""
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, idat = 8, []
+    w = h = color_type = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if depth != 8 or color_type not in (0, 2, 6) or interlace:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color_type={color_type} "
+                    f"interlace={interlace}: install Pillow for full coverage"
+                )
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+    nch = {0: 1, 2: 3, 6: 4}[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        cur = np.frombuffer(raw[pos + 1:pos + 1 + stride], dtype=np.uint8).copy()
+        pos += 1 + stride
+        if ft == 1:  # Sub
+            for x in range(nch, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - nch])) & 0xFF
+        elif ft == 2:  # Up (uint8 add wraps mod 256, as the spec requires)
+            cur = cur + prev
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = int(cur[x - nch]) if x >= nch else 0
+                cur[x] = (int(cur[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = int(cur[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                c = int(prev[x - nch]) if x >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = cur
+        prev = cur
+    img = out.reshape(h, w, nch)
+    if nch == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif nch == 4:
+        img = img[:, :, :3]
+    return np.ascontiguousarray(img)
+
+
+def _wav_decode(content: bytes) -> np.ndarray:
+    """RIFF/WAVE -> float32 PCM in [-1, 1), first channel.  soundfile when
+    importable (any codec libsndfile knows), stdlib ``wave`` otherwise
+    (8/16-bit integer PCM)."""
+    import io
+
+    try:
+        import soundfile as sf
+
+        data, _sr = sf.read(io.BytesIO(content), dtype="float32")
+        if data.ndim > 1:
+            data = data[:, 0]
+        return np.ascontiguousarray(data, dtype=np.float32)
+    except ImportError:
+        pass
+    import wave
+
+    with wave.open(io.BytesIO(content)) as wv:
+        nch, sw = wv.getnchannels(), wv.getsampwidth()
+        frames = wv.readframes(wv.getnframes())
+    if sw == 2:
+        arr = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 1:  # 8-bit WAV is unsigned
+        arr = (np.frombuffer(frames, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{8 * sw}-bit WAV needs soundfile")
+    if nch > 1:
+        arr = arr.reshape(-1, nch)[:, 0]
+    return np.ascontiguousarray(arr)
+
+
 def _decode_image(content: bytes, width: int, height: int) -> np.ndarray:
-    """[h, w, 3] uint8.  Real impl: PIL.Image.open(BytesIO(content))."""
+    """[h, w, 3] uint8.  Real container magic -> real codec (PIL when
+    importable, stdlib PNG decode otherwise); opaque blobs -> md5 fake."""
+    content = bytes(content)  # Arrow hands bytearray
+    if content[:8] == _PNG_MAGIC or content[:3] == _JPEG_MAGIC:
+        try:
+            import io
+
+            from PIL import Image
+
+            return np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
+        except ImportError:
+            if content[:8] == _PNG_MAGIC:
+                return _png_decode(content)
+            raise NotImplementedError(
+                "JPEG content needs Pillow (pip install pillow)"
+            ) from None
     if not DETERMINISTIC_FAKE:
-        raise NotImplementedError("image codec not available in this container")
+        raise NotImplementedError("unrecognized image container and fakes disabled")
     return _md5_chain_bytes(content, height * width * 3).reshape(height, width, 3)
 
 
 def _decode_audio(content: bytes, n_samples: int) -> np.ndarray:
-    """[n_samples] float32 PCM.  Real impl: soundfile.read(BytesIO(...))."""
+    """[n] float32 PCM.  RIFF/WAVE magic -> real codec (soundfile when
+    importable, stdlib wave otherwise); opaque blobs -> md5 fake."""
+    content = bytes(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return _wav_decode(content)
     if not DETERMINISTIC_FAKE:
-        raise NotImplementedError("audio codec not available in this container")
+        raise NotImplementedError("unrecognized audio container and fakes disabled")
     raw = _md5_chain_bytes(content, n_samples).astype(np.float32)
     return (raw - 128.0) / 128.0
 

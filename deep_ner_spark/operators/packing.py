@@ -120,7 +120,12 @@ def chunk_documents(
 
     (doc_id, chunk_idx, n_tokens, chunk_text) per chunk; chunk_text is the
     space-join of the chunk's whitespace tokens (whitespace normalized).
-    Empty documents produce no chunks.
+    Empty documents produce no chunks.  A chunk is emitted only if it
+    carries at least one token NOT covered by the previous chunk (starts
+    are capped at ``n - 1 - overlap``): without the cap, a final start
+    landing inside the overlap region would emit a tail chunk fully
+    contained in its predecessor, duplicating training text.  Every token
+    is still covered — the last kept start is always >= n - max_tokens.
 
     Scale: one codegen'd projection per doc (HOF transform over the chunk
     starts) + explode — no shuffle at all; output partitioning follows the
@@ -138,9 +143,16 @@ def chunk_documents(
     base = df.select(
         F.col(id_col), tokens_col(F.col(text_col)).alias("__t")
     ).select(id_col, "__t", F.size("__t").alias("__n"))
+    # cap the last start at n - 1 - overlap: a start beyond it adds no new
+    # token (its whole chunk lies inside the previous one); greatest(.., 0)
+    # keeps the single chunk of docs with n <= overlap
     starts = F.when(
         F.col("__n") >= 1,
-        F.sequence(F.lit(0), F.col("__n") - 1, F.lit(step)),
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.col("__n") - 1 - F.lit(overlap), F.lit(0)),
+            F.lit(step),
+        ),
     ).otherwise(F.array().cast("array<int>"))
     chunks = F.transform(
         starts,

@@ -185,28 +185,6 @@ def ngrams_of_tokens(toks: Column, n: int) -> Column:
     )
 
 
-def _gram_counts(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, gram, cnt, len) occurrence counts of word n-grams.
-
-    Tokens are projected ONCE as an attribute before the n-gram transform
-    (HOF no-CSE trap); explode_outer (no InferFiltersFromGenerate
-    triple-eval) + null filter on the OUTPUT attribute, then a hash agg
-    keyed by (id, gram) — uniform key, map-side combined, no skew at
-    corpus scale.
-    """
-    base = (
-        df.select(F.col(id_col), tokens_col(F.col(text_col)).alias("__toks"))
-        .select(id_col, ngrams_of_tokens(F.col("__toks"), n).alias("__g"))
-        .select(id_col, F.explode_outer("__g").alias("gram"))
-    )
-    return (
-        base.where(F.col("gram").isNotNull())
-        .groupBy(id_col, "gram")
-        .agg(F.count("*").alias("cnt"))
-        .select(id_col, "gram", "cnt", F.length("gram").alias("len"))
-    )
-
-
 # encode (cnt, char_volume) into one ordered bigint so "most frequent gram,
 # ties broken by char volume" is a plain max() in BOTH engines (DuckDB has
 # no struct max): cnt <= n_tokens and cnt*len < 2^32 at any realistic doc

@@ -67,6 +67,135 @@ def test_codec_seam_raises_without_fake(monkeypatch):
         mm._decode_audio(b"xx", 100)
 
 
+# --- real-codec dispatch (PNG via stdlib zlib, WAV via stdlib wave) ----------
+
+
+def _png_encode(img: np.ndarray, row_filters) -> bytes:
+    """Test-fixture PNG encoder (stdlib struct+zlib): 8-bit gray/RGB/RGBA,
+    per-row filter types chosen by the caller so every unfilter branch of
+    the decoder is exercised."""
+    import struct
+    import zlib
+
+    h, w, nch = img.shape
+    color_type = {1: 0, 3: 2, 4: 6}[nch]
+    lines, prev = [], np.zeros(w * nch, dtype=np.int32)
+    for y in range(h):
+        cur = img[y].reshape(-1).astype(np.int32)
+        left = np.concatenate([np.zeros(nch, np.int32), cur[:-nch]])
+        ft = row_filters[y % len(row_filters)]
+        if ft == 0:
+            filt = cur
+        elif ft == 1:
+            filt = (cur - left) % 256
+        elif ft == 2:
+            filt = (cur - prev) % 256
+        elif ft == 3:
+            filt = (cur - (left + prev) // 2) % 256
+        elif ft == 4:
+            filt = np.empty_like(cur)
+            for x in range(len(cur)):
+                a = int(cur[x - nch]) if x >= nch else 0
+                b, c = int(prev[x]), (int(prev[x - nch]) if x >= nch else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[x] = (int(cur[x]) - pred) % 256
+        lines.append(bytes([ft]) + filt.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _wav_encode(samples_i16: np.ndarray, rate: int = 16000, nch: int = 1) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(nch)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        wv.writeframes(samples_i16.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_png_decode_all_filters_roundtrip():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    # rows cycle through every filter type 0..4
+    got = mm._decode_image(_png_encode(img, row_filters=[0, 1, 2, 3, 4]), 7, 10)
+    assert got.shape == (10, 7, 3) and np.array_equal(got, img)
+    # grayscale broadcasts to 3 channels; RGBA drops alpha
+    g = rng.integers(0, 256, size=(5, 6, 1), dtype=np.uint8)
+    got_g = mm._decode_image(_png_encode(g, row_filters=[4, 3, 2, 1, 0]), 6, 5)
+    assert np.array_equal(got_g, np.repeat(g, 3, axis=2))
+    rgba = rng.integers(0, 256, size=(4, 4, 4), dtype=np.uint8)
+    got_a = mm._decode_image(_png_encode(rgba, row_filters=[1, 4]), 4, 4)
+    assert np.array_equal(got_a, rgba[:, :, :3])
+
+
+def test_wav_decode_real_pcm():
+    i16 = np.array([0, 1, -1, 32767, -32768, 12345], dtype=np.int16)
+    got = mm._decode_audio(_wav_encode(i16), n_samples=0)
+    assert got.dtype == np.float32
+    assert np.array_equal(got, i16.astype(np.float32) / 32768.0)
+    # stereo keeps the first channel
+    stereo = np.stack([i16, np.zeros_like(i16)], axis=1).reshape(-1)
+    got2 = mm._decode_audio(_wav_encode(stereo, nch=2), n_samples=0)
+    assert np.array_equal(got2, i16.astype(np.float32) / 32768.0)
+
+
+def test_real_codec_dispatch_end_to_end(spark):
+    """Real PNG/WAV blobs flow through the SAME operators as the fakes:
+    image_features pools the actual pixels, audio_frame_sample the actual
+    PCM — the dispatch is by container magic, not a global mode switch."""
+    img = np.full((8, 8, 3), 100, dtype=np.uint8)
+    img[:4] = 20  # top half dark: pooled means must reflect real pixels
+    png = _png_encode(img, row_filters=[0, 1, 2, 3, 4])
+    rows = [(0, bytearray(png), ("png", 8, 8, len(png)))]
+    df = spark.createDataFrame(rows, schema=mm.IMAGE_SCHEMA)
+    feats = mm.image_features(df, grid=2).collect()[0]["features"]
+    assert feats == [20.0] * 6 + [100.0] * 6  # 2x2 grid x 3 channels
+
+    i16 = (np.sin(np.arange(1000) / 10.0) * 16384).astype(np.int16)
+    wav = _wav_encode(i16)
+    adf = spark.createDataFrame(
+        [(0, bytearray(wav), ("wav", 16000, len(i16)))], schema=mm.AUDIO_SCHEMA
+    )
+    out = mm.audio_frame_sample(adf, frame_len=400, hop=160, max_frames=3).collect()
+    pcm = i16.astype(np.float32) / 32768.0
+    want = {
+        k: float((pcm[k * 160:k * 160 + 400].astype(np.float64) ** 2).sum() / 400)
+        for k in range(3)
+    }
+    got = {r["frame_idx"]: r["energy"] for r in out if r["media_id"] == 0}
+    for k in range(3):
+        assert got[k] == pytest.approx(want[k], rel=1e-6)
+
+
+def test_unrecognized_container_still_raises_without_fake(monkeypatch):
+    monkeypatch.setattr(mm, "DETERMINISTIC_FAKE", False)
+    # JPEG magic with no Pillow in this container: actionable error
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        mm._decode_image(b"\xff\xd8\xff\xe0rest", 4, 4)
+    # real PNG decodes even with fakes disabled
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    assert mm._decode_image(_png_encode(img, [0]), 2, 2).shape == (2, 2, 3)
+
+
 def test_video_frame_sample(spark):
     import numpy as np
 

@@ -88,7 +88,8 @@ def test_chunk_documents(spark):
         (0, 0): (4, "t1 t2 t3 t4"),
         (0, 1): (4, "t4 t5 t6 t7"),   # 1-token overlap (step 3)
         (0, 2): (4, "t7 t8 t9 t10"),
-        (0, 3): (1, "t10"),
+        # no (0, 3): a start at t10 would emit a chunk fully contained in
+        # (0, 2) — redundant tails are dropped (starts cap at n-1-overlap)
         (1, 0): (1, "only"),
     }
 

@@ -40,6 +40,17 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> str:
         return f"SCHEMA {list(g.columns)} != {list(w.columns)}"
     for c in g.columns:
         gc, wc = g[c], w[c]
+        # The driver hashes rendered values, so int64 `500` vs float64 `500.0`
+        # is a hash mismatch even when numerically equal (DuckDB HUGEINT
+        # aggregates surface as float64 in pandas). Flag it here instead of
+        # coercing, so this harness predicts the driver.
+        if pd.api.types.is_integer_dtype(gc) != pd.api.types.is_integer_dtype(wc) and (
+            pd.api.types.is_float_dtype(gc) or pd.api.types.is_float_dtype(wc)
+        ):
+            return (
+                f"DTYPE col={c}: spark={gc.dtype} vs oracle={wc.dtype} "
+                "(int-vs-float hash mismatch at the driver; CAST the oracle column)"
+            )
         if pd.api.types.is_float_dtype(gc) or pd.api.types.is_float_dtype(wc):
             import numpy as np
 
