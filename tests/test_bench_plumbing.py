@@ -165,3 +165,54 @@ def test_cluster_config_merge_never_mixes_checksums():
     r = _cfg(1, 2, 350.0, checksum=222)
     # replicate the guard exactly as main() applies it
     assert prev.get("checksum") != r["checksum"]
+
+
+def test_cluster_summary_fresh_history_without_exec1x2(tmp_path):
+    """A fresh history whose first pair used a non-canonical geometry (no
+    exec1x2 yet) must still persist the just-measured pair instead of
+    raising KeyError on the canonical-config lookup."""
+    checksum = 11405021730103455
+    hist = {
+        "pairs": [{"geom": "4x1", "t_a": 800.0, "t_b": 210.0, "eff": 0.95,
+                   "ceil": 0.9, "eff_vs_ceil": 1.056, "checksum": checksum}],
+        "configs": {
+            "exec1x1": _cfg(1, 1, 800.0, checksum),
+            "exec4x1": _cfg(4, 1, 210.0, checksum),
+        },
+    }
+    out = tmp_path / "cluster_runs.json"
+    bench_cluster.summarize_and_persist(hist, out)
+    persisted = json.loads(out.read_text())
+    assert len(persisted["pairs"]) == 1  # pair survived
+    assert "summary" not in persisted  # no canonical reading yet
+
+
+def test_compact_bench_line_fits_driver_capture():
+    """The driver keeps only a short stdout tail: the printed JSON line must
+    stay well under ~1.5 KB even with every headline query present, and must
+    carry the floor totals + fingerprint while EXCLUDING the full 59-query
+    sf0.01 block (inlining it is what truncated BENCH_r05 past parsing)."""
+    result = {
+        "metric": "asof_feature_engine_e2e",
+        "value": 15.057, "value_is": "floor_total", "value_session": 16.0,
+        "unit": "sec",
+        "queries": {f"query_name_{i:02d}": 1.234 for i in range(11)},
+        "queries_session": {f"query_name_{i:02d}": 2.0 for i in range(11)},
+        "floor_protocol": {"fingerprint": "a" * 16, "n_sessions": 3},
+        "sf": 0.1, "n_turns": 118966, "turns_per_sec": 34195.5,
+        "turns_per_sec_session": 30000.0, "cpus": 32,
+        "all_queries_sf001": {
+            "queries": {f"q{i}": 0.5 for i in range(59)},
+            "queries_session": {f"q{i}": 0.6 for i in range(59)},
+            "total": 48.6, "total_session": 50.0,
+            "floor_protocol": {"fingerprint": "a" * 16, "n_sessions": 2},
+            "sf": 0.01,
+        },
+    }
+    line = json.dumps(bench.compact(result))
+    assert len(line) < 1500
+    parsed = json.loads(line)
+    assert parsed["allq_sf001_total"] == 48.6 and parsed["allq_sf001_n"] == 59
+    assert parsed["fp"] == "a" * 16
+    assert "all_queries_sf001" not in parsed  # the block that broke r5
+    assert "queries_session" not in parsed
