@@ -448,6 +448,22 @@ def test_connected_components_vs_union_find(spark):
     assert got[7] == 1 and got[30] == 30 and got[31] == 31
 
 
+def test_connected_components_rejects_string_ids(spark):
+    """A string id column would NULL the label-sum convergence scalar every
+    round (cast to decimal fails under ANSI-off), silently breaking the
+    loop after one iteration — the operator must fail fast instead."""
+    import pytest
+
+    from deep_ner_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": ["a"], "id_b": ["b"]})
+    )
+    nodes = spark.createDataFrame(pd.DataFrame({"nid": ["a", "b", "c"]}))
+    with pytest.raises(TypeError, match="integral id column"):
+        connected_components(pairs, nodes, "nid")
+
+
 def test_dup_clusters(docs, spark):
     """Exact dup (0,2) + near-dup (0,1) chain into ONE cluster with min-id
     canonical; everyone else is a singleton; sizes sum to the corpus."""

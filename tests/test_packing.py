@@ -94,6 +94,43 @@ def test_chunk_documents(spark):
     }
 
 
+def test_chunk_documents_invariants_sweep(spark):
+    """Across a (doc_len, max_tokens, overlap) grid: every token is covered,
+    chunk_idx is dense from 0, every non-first chunk starts exactly
+    step=max_tokens-overlap after its predecessor, and NO chunk is fully
+    contained in the previous one (the r6 redundant-tail fix)."""
+    from deep_ner_spark.operators.packing import chunk_documents
+
+    lens = [1, 2, 3, 4, 5, 7, 10, 11, 12, 13, 25]
+    texts = [" ".join(f"t{i}" for i in range(n)) for n in lens]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(lens)), "text": texts})
+    )
+    for max_tokens, overlap in [(4, 0), (4, 1), (4, 3), (5, 2), (12, 4)]:
+        rows = chunk_documents(df, "doc_id", "text", max_tokens, overlap).collect()
+        step = max_tokens - overlap
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert set(by_doc) == set(range(len(lens)))
+        for d, n in enumerate(lens):
+            chunks = sorted(by_doc[d], key=lambda r: r["chunk_idx"])
+            assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+            covered = set()
+            prev_toks = None
+            for c in chunks:
+                toks = c["chunk_text"].split(" ")
+                assert len(toks) == c["n_tokens"] <= max_tokens
+                start = c["chunk_idx"] * step
+                assert toks == [f"t{i}" for i in range(start, start + len(toks))]
+                if prev_toks is not None:
+                    assert not set(toks) <= set(prev_toks), (
+                        d, max_tokens, overlap, toks, prev_toks)
+                covered.update(toks)
+                prev_toks = toks
+            assert covered == {f"t{i}" for i in range(n)}, (d, max_tokens, overlap)
+
+
 def test_chunk_documents_guards(spark):
     from deep_ner_spark.operators.packing import chunk_documents
 
