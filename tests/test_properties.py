@@ -123,3 +123,58 @@ def test_match_spans_bounds(gold_raw, pred_raw):
     assert tp + fn == sum(b - a for a, b in gold)
     assert tp + fp == sum(b - a for a, b in pred)
     assert tp >= 0 and fp >= 0 and fn >= 0
+
+
+# --- stdlib PNG/WAV codec round-trips (multimodal real-decode path) ---------
+
+_img_strategy = st.tuples(
+    st.integers(min_value=1, max_value=12),   # height
+    st.integers(min_value=1, max_value=12),   # width
+    st.sampled_from([1, 3, 4]),               # channels: gray/RGB/RGBA
+    st.integers(min_value=0, max_value=2**32 - 1),  # pixel seed
+    st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=6),
+)
+
+
+@given(_img_strategy)
+@settings(max_examples=40, deadline=None)
+def test_png_decode_roundtrip_property(params):
+    """decode(encode(img, any per-row filter mix)) == img for every shape,
+    channel count and scanline-filter combination."""
+    import numpy as np
+
+    from deep_ner_spark.operators.multimodal import _decode_image
+    from tests.test_multimodal import _png_encode
+
+    h, w, nch, seed, filters = params
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, nch), dtype=np.uint8)
+    got = _decode_image(_png_encode(img, row_filters=filters), w, h)
+    want = img if nch == 3 else (
+        np.repeat(img, 3, axis=2) if nch == 1 else img[:, :, :3]
+    )
+    assert got.shape == (h, w, 3)
+    assert np.array_equal(got, want)
+
+
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767),
+             min_size=1, max_size=200),
+    st.sampled_from([1, 2]),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_decode_roundtrip_property(samples, nch):
+    import numpy as np
+
+    from deep_ner_spark.operators.multimodal import _decode_audio
+    from tests.test_multimodal import _wav_encode
+
+    i16 = np.asarray(samples, dtype=np.int16)
+    if nch == 2:  # interleave a junk second channel; decode keeps the first
+        blob = _wav_encode(
+            np.stack([i16, np.roll(i16, 1)], axis=1).reshape(-1), nch=2
+        )
+    else:
+        blob = _wav_encode(i16)
+    got = _decode_audio(blob, n_samples=0)
+    assert np.array_equal(got, i16.astype(np.float32) / 32768.0)
