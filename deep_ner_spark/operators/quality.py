@@ -140,48 +140,50 @@ def prf(tp: int, fp: int, fn: int) -> Tuple[float, float, float]:
 
 # --- Spark operators ----------------------------------------------------------
 
-_GROUP_SCHEMA = T.StructType(
-    [
-        T.StructField("sample_id", T.LongType()),
-        T.StructField("ne_class", T.StringType()),
-        T.StructField("tp", T.LongType()),
-        T.StructField("fp", T.LongType()),
-        T.StructField("fn", T.LongType()),
-    ]
-)
-
-
 def entity_match_metrics(gold: DataFrame, pred: DataFrame) -> DataFrame:
-    """(sample_id, ne_class, tp, fp, fn) per group via cogrouped pandas.
+    """(sample_id, ne_class, tp, fp, fn) per group.
 
-    Inputs: long-form (sample_id, ne_class, start, end).  The cogroup join
-    is the equi-part of SURVEY J3; all-pairs stays inside the tiny group.
+    Inputs: long-form (sample_id, ne_class, start, end).  Each side is
+    list-aggregated JVM-side (collect_list + sort_array — one hash agg per
+    side), the two list frames full-outer-join on the group key (the
+    equi-part of SURVEY J3), and ONE scalar Arrow pandas UDF runs
+    :func:`match_spans` over thousands of groups per batch.  All-pairs work
+    stays inside the tiny group either way; vs the previous cogrouped
+    applyInPandas this removes the per-group Python call + per-group
+    DataFrame construction (r7 profile: 1.38s -> batched, same shuffle
+    count) while keeping the matching semantics byte-identical.
     """
+    from pyspark.sql.functions import pandas_udf
 
-    def run(g: pd.DataFrame, p: pd.DataFrame) -> pd.DataFrame:
-        src = g if len(g) else p
-        sample_id = int(src["sample_id"].iloc[0])
-        ne_class = str(src["ne_class"].iloc[0])
-        tp, fp, fn = match_spans(
-            list(zip(g["start"], g["end"])), list(zip(p["start"], p["end"]))
-        )
-        return pd.DataFrame(
-            [
-                {
-                    "sample_id": sample_id,
-                    "ne_class": ne_class,
-                    "tp": tp,
-                    "fp": fp,
-                    "fn": fn,
-                }
-            ]
+    def side(df: DataFrame, alias: str) -> DataFrame:
+        return df.groupBy("sample_id", "ne_class").agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("start"), F.col("end")))
+            ).alias(alias)
         )
 
-    return (
-        gold.groupBy("sample_id", "ne_class")
-        .cogroup(pred.groupBy("sample_id", "ne_class"))
-        .applyInPandas(run, schema=_GROUP_SCHEMA)
+    joined = side(gold, "__g").join(
+        side(pred, "__p"), ["sample_id", "ne_class"], "full_outer"
     )
+
+    @pandas_udf("struct<tp:long,fp:long,fn:long>")
+    def match_batch(gcol: pd.Series, pcol: pd.Series) -> pd.DataFrame:
+        out = {"tp": [], "fp": [], "fn": []}
+        for gs, ps in zip(gcol, pcol):
+            tp, fp, fn = match_spans(
+                [(s["start"], s["end"]) for s in gs] if gs is not None else [],
+                [(s["start"], s["end"]) for s in ps] if ps is not None else [],
+            )
+            out["tp"].append(tp)
+            out["fp"].append(fp)
+            out["fn"].append(fn)
+        return pd.DataFrame(out)
+
+    return joined.select(
+        F.col("sample_id").cast("long"),
+        "ne_class",
+        match_batch("__g", "__p").alias("__m"),
+    ).select("sample_id", "ne_class", "__m.tp", "__m.fp", "__m.fn")
 
 
 def prediction_quality(

@@ -213,33 +213,46 @@ def ivf_cosine_topk(
     include_self: bool = False,
     kmeans_iters: int = 0,
     seed: int = 42,
+    codebook: list | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse quantize to centroid lists,
     probe the query's ``n_probe`` nearest lists only.
 
     Centroids come from :func:`fit_ivf_codebook` — ``kmeans_iters=0`` keeps
     the deterministic seed codebook (lowest-id vectors); >0 runs spherical
-    k-means on a bounded sample (the FAISS train/add split).  Assignment =
-    argmax cosine to a centroid — computed JVM-side against broadcast
-    centroid literals, so both the build and the probe are single narrow
-    passes; the probe join touches ~n_probe/n_lists of the corpus instead
-    of all of it.  With ``n_probe == n_lists`` the result equals the exact
-    top-k REGARDLESS of the codebook (every list probed) — the property the
-    driver oracle checks.  Same output schema as cosine_topk.
+    k-means on a bounded sample (the FAISS train/add split).  A caller may
+    instead pass a pre-trained ``codebook`` (list of ``n_lists`` centroid
+    vectors) — the FAISS train-once/add-many split: fitting is a separate,
+    cacheable step, and at corpus scale the same codebook serves every
+    probe batch without retraining.  Assignment = argmax cosine to a
+    centroid — computed JVM-side against broadcast centroid literals, so
+    both the build and the probe are single narrow passes; the probe join
+    touches ~n_probe/n_lists of the corpus instead of all of it.  With
+    ``n_probe == n_lists`` the result equals the exact top-k REGARDLESS of
+    the codebook (every list probed) — the property the driver oracle
+    checks.  Same output schema as cosine_topk.
     """
-    # orderBy(id) keeps the seed codebook deterministic (lowest-id vectors).
-    # NOT a full sort at corpus scale: Catalyst rewrites orderBy + the
-    # limit(n_lists) inside fit_ivf_codebook into TakeOrderedAndProject —
-    # per-partition top-k then a driver merge of k rows, no sort exchange.
-    cents = [
-        (i, c)
-        for i, c in enumerate(
-            fit_ivf_codebook(
-                data.orderBy(id_col).select(vec_col), vec_col, n_lists,
-                kmeans_iters, seed=seed,
+    if codebook is not None:
+        if len(codebook) != n_lists:
+            raise ValueError(
+                f"codebook has {len(codebook)} centroids, expected {n_lists}"
             )
-        )
-    ]
+        cents = [(i, list(c)) for i, c in enumerate(codebook)]
+    else:
+        # orderBy(id) keeps the seed codebook deterministic (lowest-id
+        # vectors).  NOT a full sort at corpus scale: Catalyst rewrites
+        # orderBy + the limit(n_lists) inside fit_ivf_codebook into
+        # TakeOrderedAndProject — per-partition top-k then a driver merge
+        # of k rows, no sort exchange.
+        cents = [
+            (i, c)
+            for i, c in enumerate(
+                fit_ivf_codebook(
+                    data.orderBy(id_col).select(vec_col), vec_col, n_lists,
+                    kmeans_iters, seed=seed,
+                )
+            )
+        ]
 
     def best_lists(vec: Column, n: int) -> Column:
         scored = F.array(
