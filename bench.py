@@ -58,6 +58,40 @@ def engine_fingerprint() -> str:
     return h.hexdigest()[:16]
 
 
+def _load_json(path: Path) -> dict:
+    if path.exists():
+        try:
+            return json.loads(path.read_text())
+        except Exception:
+            return {}
+    return {}
+
+
+def _min_merge_entries(tracked: dict | None, overlay: dict | None) -> dict:
+    """Min-merge two floor-history entries for the same key; None-safe.
+
+    Per query: min(sec) when the row counts agree (same determinism
+    signal), else the OVERLAY record wins (it is the newer measurement —
+    same reset-on-rows-change rule as the session merge below)."""
+    if not tracked:
+        return dict(overlay) if overlay else {"queries": {}, "n_sessions": 0}
+    if not overlay:
+        return dict(tracked)
+    out = {
+        "queries": dict(tracked.get("queries", {})),
+        "n_sessions": max(
+            tracked.get("n_sessions", 0), overlay.get("n_sessions", 0)
+        ),
+    }
+    for name, rec in overlay.get("queries", {}).items():
+        prev = out["queries"].get(name)
+        if prev and prev.get("rows") == rec.get("rows"):
+            out["queries"][name] = min(prev, rec, key=lambda r: r["sec"])
+        else:
+            out["queries"][name] = rec
+    return out
+
+
 def merge_query_floors(
     timings: dict, rows: dict, tag: str = "", sf: float | None = None
 ) -> tuple[dict, dict]:
@@ -67,17 +101,20 @@ def merge_query_floors(
     per-query row count as the determinism signal) — CPUS is in the key so
     floors measured at one parallelism never merge with another — min
     across sessions estimates capability, single sessions estimate the
-    host window."""
+    host window.
+
+    Writes land in BENCH/query_floors_overlay.json (gitignored scratch),
+    min-merged over the tracked BENCH/query_floors.json baseline — bench
+    runs therefore NEVER dirty the committed evidence file; the builder
+    folds the overlay in with ``tools/merge_floors.py`` and commits at
+    round start (round-6 verdict, working-tree hygiene)."""
     fp = engine_fingerprint()
-    path = Path(__file__).resolve().parent / "BENCH" / "query_floors.json"
-    hist = {}
-    if path.exists():
-        try:
-            hist = json.loads(path.read_text())
-        except Exception:
-            hist = {}
+    bench_dir = Path(__file__).resolve().parent / "BENCH"
+    tracked = _load_json(bench_dir / "query_floors.json")
+    overlay_path = bench_dir / "query_floors_overlay.json"
+    overlay = _load_json(overlay_path)
     key = f"{tag}sf{_SF if sf is None else sf}|c{CPUS}|{fp}"
-    entry = hist.get(key, {"queries": {}, "n_sessions": 0})
+    entry = _min_merge_entries(tracked.get(key), overlay.get(key))
     floors = {}
     for name, sec in timings.items():
         prev = entry["queries"].get(name)
@@ -88,9 +125,9 @@ def merge_query_floors(
             floors[name] = sec
         entry["queries"][name] = {"sec": floors[name], "rows": r}
     entry["n_sessions"] += 1
-    hist[key] = entry
-    path.parent.mkdir(exist_ok=True)
-    path.write_text(json.dumps(hist, indent=1))
+    overlay[key] = entry
+    bench_dir.mkdir(exist_ok=True)
+    overlay_path.write_text(json.dumps(overlay, indent=1))
     return floors, {"fingerprint": fp, "n_sessions": entry["n_sessions"]}
 
 
@@ -263,8 +300,8 @@ def compact(result: dict) -> dict:
     59-query block and was truncated past parseability).  Emit the headline
     floors + totals + fingerprint; the full session detail — per-query
     session timings, the complete sf0.01 sweep — is persisted to
-    BENCH/bench_last_session.json and min-merged into BENCH/query_floors.json
-    by merge_query_floors, so nothing is lost, only de-inlined."""
+    BENCH/bench_last_session.json and min-merged into the floor overlay
+    (see merge_query_floors) — nothing is lost, only de-inlined."""
     allq = result.get("all_queries_sf001") or {}
     line = {
         "metric": result["metric"],
@@ -334,7 +371,8 @@ def main():
     full_path.parent.mkdir(exist_ok=True)
     full_path.write_text(json.dumps(result, indent=1))
     line = json.dumps(compact(result))
-    assert len(line) < 1500, f"driver line too long: {len(line)}B"
+    if len(line) >= 1500:  # not assert: must survive python -O
+        raise SystemExit(f"driver line too long: {len(line)}B")
     print(line)
     spark.stop()
 

@@ -291,15 +291,25 @@ def connected_components(
     # instead (hash string ids to long, e.g. xxhash64, before calling)
     from pyspark.sql import types as T
 
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType)
     id_type = {f.name: f.dataType for f in nodes.schema.fields}.get(id_col)
-    if not isinstance(
-        id_type,
-        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
-    ):
+    if not isinstance(id_type, integral):
         raise TypeError(
             f"connected_components needs an integral id column; {id_col!r} "
             f"is {id_type} — hash it to long (e.g. F.xxhash64) first"
         )
+    # the pair columns feed the same label domain: a string-typed edge side
+    # with integral nodes would equally NULL the label-sum convergence
+    # scalar after the first neighbor-min join, silently stopping after one
+    # iteration — guard both sides, not just the node frame
+    pair_types = {f.name: f.dataType for f in pairs.schema.fields}
+    for side in (id_a, id_b):
+        if not isinstance(pair_types.get(side), integral):
+            raise TypeError(
+                f"connected_components needs integral pair ids; {side!r} "
+                f"is {pair_types.get(side)} — hash it to long "
+                f"(e.g. F.xxhash64) first"
+            )
     sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = sym.union(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
@@ -311,7 +321,14 @@ def connected_components(
     )
     prev_sum = None
     for _ in range(max_iter):
-        # (1) neighbor-min
+        # (1) neighbor-min.  (Round-7 note: a union+groupBy fold of this
+        # join+coalesce was tried and is SLOWER — the left join lets AQE
+        # broadcast the small nmin side and keep the label frame narrow,
+        # while a union forces both branches through a full exchange.  The
+        # convergence scalar below is already fused into this round's
+        # single action via the lazy localCheckpoint; the residual
+        # per-round cost is AQE stage-materialization job latency,
+        # measured ~6 jobs/round at fixture scale.)
         lab_of = labels.select(
             F.col("id").alias("dst"), F.col("lab").alias("nlab")
         )
@@ -609,41 +626,37 @@ def lsh_dedup_against_corpus(
     if materialize:
         cand = _local_ckpt(cand)
 
-    sh_new = doc_shingles(
-        new_df.join(
-            cand.select(F.col("__id_new").alias(id_col)).distinct(), id_col, "semi"
-        ),
-        id_col,
-        text_col,
-        n,
+    # Verification joins the candidate pairs back to each side's distinct
+    # shingle SET (one shingles_col array per candidate doc, after a
+    # semi-join prune) and intersects JVM-side.  Candidates are a tiny,
+    # already-enumerated fraction of new x corpus, so a per-pair
+    # array_intersect beats re-exploding to long form: two id-keyed joins
+    # + a narrow projection replace an explode, a shingle-key exchange and
+    # a hash agg per side (round-7 profile: the long-form verify was ~1.1s
+    # of the 1.86s sf0.01 floor).  The long form remains the right shape
+    # for ALL-PAIRS discovery (jaccard_pairs' PPJoin) — here the pair list
+    # is already known.
+    sets_new = new_df.join(
+        cand.select(F.col("__id_new").alias(id_col)).distinct(), id_col, "semi"
+    ).select(
+        F.col(id_col).alias("__id_new"),
+        shingles_col(F.col(text_col), n).alias("__sh_new"),
     )
-    sh_cor = doc_shingles(
-        corpus_df.join(
-            cand.select(F.col("__id_cor").alias(id_col)).distinct(), id_col, "semi"
-        ),
-        id_col,
-        text_col,
-        n,
+    sets_cor = corpus_df.join(
+        cand.select(F.col("__id_cor").alias(id_col)).distinct(), id_col, "semi"
+    ).select(
+        F.col(id_col).alias("__id_cor"),
+        shingles_col(F.col(text_col), n).alias("__sh_cor"),
     )
     inter = (
-        cand.join(
-            sh_new.select(
-                F.col(id_col).alias("__id_new"),
-                F.col("size").alias("__sz_new"),
-                "shingle",
-            ),
+        cand.join(sets_new, "__id_new")
+        .join(sets_cor, "__id_cor")
+        .select(
             "__id_new",
+            F.size(F.array_intersect("__sh_new", "__sh_cor")).alias("__inter"),
+            F.size("__sh_new").alias("__sz_new"),
+            F.size("__sh_cor").alias("__sz_cor"),
         )
-        .join(
-            sh_cor.select(
-                F.col(id_col).alias("__id_cor"),
-                F.col("size").alias("__sz_cor"),
-                "shingle",
-            ),
-            ["__id_cor", "shingle"],
-        )
-        .groupBy("__id_new", "__id_cor", "__sz_new", "__sz_cor")
-        .agg(F.count("*").alias("__inter"))
     )
     dropped = (
         inter.where(

@@ -124,6 +124,10 @@ def _png_decode(data: bytes) -> np.ndarray:
             idat.append(chunk)
         elif ctype == b"IEND":
             break
+    if color_type is None:
+        # a truncated/malformed stream without IHDR would otherwise surface
+        # as an opaque KeyError(None) at the channel lookup below
+        raise ValueError("PNG missing IHDR chunk")
     nch = {0: 1, 2: 3, 6: 4}[color_type]
     raw = zlib.decompress(b"".join(idat))
     stride = w * nch
@@ -205,13 +209,23 @@ def _decode_image(content: bytes, width: int, height: int) -> np.ndarray:
 
             from PIL import Image
 
-            return np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
+            img = np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
         except ImportError:
             if content[:8] == _PNG_MAGIC:
-                return _png_decode(content)
-            raise NotImplementedError(
-                "JPEG content needs Pillow (pip install pillow)"
-            ) from None
+                img = _png_decode(content)
+            else:
+                raise NotImplementedError(
+                    "JPEG content needs Pillow (pip install pillow)"
+                ) from None
+        # a blob whose real dimensions disagree with the declared metadata
+        # would otherwise pass silently and drift every downstream shape
+        # assumption off the schema — fail loudly at the decode seam
+        if (height, width) not in ((0, 0), img.shape[:2]):
+            raise ValueError(
+                f"decoded image is {img.shape[0]}x{img.shape[1]} but metadata "
+                f"declares {height}x{width}"
+            )
+        return img
     if not DETERMINISTIC_FAKE:
         raise NotImplementedError("unrecognized image container and fakes disabled")
     return _md5_chain_bytes(content, height * width * 3).reshape(height, width, 3)

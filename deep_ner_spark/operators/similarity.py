@@ -32,6 +32,27 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
 
 
+def _const_vec(values) -> Column:
+    """array<double> literal from Python floats in ONE py4j round-trip.
+
+    ``F.array(*[F.lit(x) for x in vec])`` costs a JVM round-trip per
+    element — at 8 centroids x 64 dims x 2 join sides that is ~1.1s of
+    pure py4j chatter per ``ivf_cosine_topk`` call, the dominant term of
+    the round-7 floor profile.  A single ``F.expr("array(...)")`` ships
+    one string and parses JVM-side.  ``repr(float)`` is the shortest
+    round-trip decimal and Spark's literal parser returns the nearest
+    double, so every element is BIT-IDENTICAL to the per-element path
+    (exp-checked) — required by the rank-ordering oracles.  Non-finite
+    values (no SQL literal spelling) fall back to the per-element path.
+    """
+    import math
+
+    vals = [float(x) for x in values]
+    if not vals or not all(math.isfinite(v) for v in vals):
+        return F.array(*[F.lit(v) for v in vals])
+    return F.expr("array(" + ",".join(repr(v) + "D" for v in vals) + ")")
+
+
 def cosine_topk(
     data: DataFrame,
     queries: DataFrame,
@@ -82,8 +103,7 @@ def lsh_bucket_col(vec: Column, planes) -> Column:
     """Sign-bit bucket id from dot products with fixed hyperplanes."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = (dot_col(vec, plane) > 0).cast("long")
+        bit = (dot_col(vec, _const_vec(p)) > 0).cast("long")
         bucket = bucket + F.shiftleft(bit, i)
     return bucket
 
@@ -102,9 +122,7 @@ def lsh_probe_buckets_col(vec: Column, planes, n_probe_buckets: int = 1) -> Colu
     ``n_probe_buckets <= 1`` (or no planes) this is the single-element
     base-bucket array.
     """
-    dots = [
-        dot_col(vec, F.array(*[F.lit(float(x)) for x in p])) for p in planes
-    ]
+    dots = [dot_col(vec, _const_vec(p)) for p in planes]
     bucket = F.lit(0).cast("long")
     for i, d in enumerate(dots):
         bucket = bucket + F.shiftleft((d > 0).cast("long"), i)
@@ -174,7 +192,7 @@ def fit_ivf_codebook(
         assign = F.array(
             *[
                 F.struct(
-                    cosine_col(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])).alias("s"),
+                    cosine_col(F.col(vec_col), _const_vec(c)).alias("s"),
                     F.lit(i).alias("list_id"),
                 )
                 for i, c in enumerate(cents)
@@ -254,39 +272,51 @@ def ivf_cosine_topk(
             )
         ]
 
-    def best_lists(vec: Column, n: int) -> Column:
-        scored = F.array(
-            *[
-                F.struct(
-                    cosine_col(vec, F.array(*[F.lit(float(x)) for x in c])).alias("s"),
-                    F.lit(i).alias("list_id"),
-                )
-                for i, (_, c) in enumerate(cents)
-            ]
+    # the sorted (score, list_id) array is built ONCE and the same Column
+    # object reused by both selects below (both sides read ``vec_col``):
+    # column construction is py4j-bound (round-7 profile — ~0.5s per copy
+    # at 8x64 dims), and the d/q assignment trees are identical
+    scored_lists = F.reverse(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        cosine_col(F.col(vec_col), _const_vec(c)).alias("s"),
+                        F.lit(i).alias("list_id"),
+                    )
+                    for i, (_, c) in enumerate(cents)
+                ]
+            )
         )
-        top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
-        return F.transform(top, lambda s: s["list_id"])
-
+    )
     d = data.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__dv"),
-        best_lists(F.col(vec_col), 1).getItem(0).alias("__list"),
+        scored_lists.getItem(0)["list_id"].alias("__list"),
     )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qv"),
-            F.explode(best_lists(F.col(vec_col), n_probe)).alias("__list"),
+            F.explode(
+                F.transform(
+                    F.slice(scored_lists, 1, n_probe), lambda s: s["list_id"]
+                )
+            ).alias("__list"),
         )
     )
     pairs = q.join(d, on="__list")
     if not include_self:
         pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
+    # each (query, neighbor) pair occurs at most once: a data row carries
+    # exactly ONE list id and a query's probe lists are distinct by
+    # construction, so no dedup aggregation (an extra exchange) is needed
+    # between the join and the per-query top-k window
     scored = pairs.select(
         "query_id",
         "neighbor_id",
         cosine_col(F.col("__qv"), F.col("__dv")).alias("cosine"),
-    ).groupBy("query_id", "neighbor_id").agg(F.first("cosine").alias("cosine"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

@@ -58,7 +58,8 @@ def test_floor_keys_separate_cpu_configs(sandboxed_bench, monkeypatch):
     f, meta = bench.merge_query_floors({"q": 7.0}, {"q": 10}, tag="t|")
     # a local[2] session must not inherit the local[32] floor
     assert f == {"q": 7.0} and meta["n_sessions"] == 1
-    hist = json.loads(sandboxed_bench.read_text())
+    overlay = sandboxed_bench.with_name("query_floors_overlay.json")
+    hist = json.loads(overlay.read_text())
     assert {k.split("|")[2] for k in hist} == {"c32", "c2"}
 
 
@@ -75,7 +76,37 @@ def test_floor_history_survives_corrupt_file(sandboxed_bench):
     sandboxed_bench.write_text("{not json")
     f, meta = bench.merge_query_floors({"q": 2.5}, {"q": 10}, tag="t|")
     assert f == {"q": 2.5} and meta["n_sessions"] == 1
-    assert json.loads(sandboxed_bench.read_text())  # rewritten valid
+    # bench never writes the tracked file (that is merge_floors.py's job,
+    # run and committed by the builder); the session lands in the overlay
+    assert sandboxed_bench.read_text() == "{not json"
+    overlay = sandboxed_bench.with_name("query_floors_overlay.json")
+    assert json.loads(overlay.read_text())
+
+
+def test_bench_runs_never_dirty_tracked_floors(sandboxed_bench):
+    """The working-tree-hygiene contract: a bench session only writes the
+    gitignored overlay; folding into the tracked evidence file is an
+    explicit builder act (tools/merge_floors.py), after which the overlay
+    is gone and a re-fold is a no-op."""
+    import tools.merge_floors as mf
+
+    bench.merge_query_floors({"q": 2.0}, {"q": 10}, tag="t|")
+    bench.merge_query_floors({"q": 1.0}, {"q": 10}, tag="t|")
+    assert not sandboxed_bench.exists()  # tracked untouched by sessions
+    assert mf.main() == 0
+    hist = json.loads(sandboxed_bench.read_text())
+    (entry,) = hist.values()
+    assert entry["queries"]["q"] == {"sec": 1.0, "rows": 10}
+    assert entry["n_sessions"] == 2
+    overlay = sandboxed_bench.with_name("query_floors_overlay.json")
+    assert not overlay.exists()
+    # post-fold sessions min-merge over the tracked baseline
+    f, meta = bench.merge_query_floors({"q": 5.0}, {"q": 10}, tag="t|")
+    assert f == {"q": 1.0} and meta["n_sessions"] == 3
+    assert mf.main() == 0
+    assert json.loads(sandboxed_bench.read_text())[
+        next(iter(hist))
+    ]["n_sessions"] == 3
 
 
 # -------------------------------------------------------- bench_cluster.py

@@ -147,6 +147,28 @@ def test_png_decode_all_filters_roundtrip():
     assert np.array_equal(got_a, rgba[:, :, :3])
 
 
+def test_png_missing_ihdr_is_actionable():
+    # magic + a lone IEND chunk: malformed, but must not surface as an
+    # opaque KeyError(None) from the channel-count lookup
+    import struct
+    import zlib
+
+    iend = struct.pack(">I", 0) + b"IEND" + struct.pack(">I", zlib.crc32(b"IEND"))
+    with pytest.raises(ValueError, match="IHDR"):
+        mm._png_decode(mm._PNG_MAGIC + iend)
+
+
+def test_decoded_shape_must_match_metadata():
+    """A real decode whose dimensions disagree with the declared metadata
+    fails loudly at the seam instead of silently drifting the schema."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    blob = _png_encode(img, row_filters=[0])
+    assert mm._decode_image(blob, 4, 5).shape == (5, 4, 3)  # agreeing meta
+    with pytest.raises(ValueError, match="metadata"):
+        mm._decode_image(blob, 9, 9)
+
+
 def test_wav_decode_real_pcm():
     i16 = np.array([0, 1, -1, 32767, -32768, 12345], dtype=np.int16)
     got = mm._decode_audio(_wav_encode(i16), n_samples=0)
