@@ -2922,15 +2922,17 @@ def q_dedup_corpus_lsh(spark, sf_dir):
 # out of this round's sample all have green rows from the previous round.
 _SAMPLE_FIRST = [
     "flagship_featurize",
-    "stratified_sample_docs",
-    "dedup_corpus_exact",
-    "dedup_corpus_lsh",
-    "ivf_cosine_topk_exhaustive",
-    "embedding_near_dup",
-    "rolling_fingerprint",
-    "streaming_asof",
-    "predict_entities",
-    "predict_entities_shape_head",
+    # round-7 rotation (tools/rotate_sample.py): the 9 entries whose last
+    # driver row is r5 — they fell outside the r6 50-entry window
+    "ann_recall_lsh",
+    "ann_recall_multiprobe",
+    "lsh_cosine_topk",
+    "lsh_cosine_topk_exhaustive",
+    "multimodal_audio_energy",
+    "multimodal_image_features",
+    "multimodal_video_frames",
+    "stratified_split",
+    "viterbi_decode_zero_transitions",
 ]
 
 

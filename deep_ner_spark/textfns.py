@@ -417,6 +417,77 @@ def heuristic_pos_dep(token: str, token_idx: int) -> Tuple[str, str]:
     return _pos_dep_cached(token, token_idx == 0, token_idx % 2)
 
 
+_UDPIPE_PIPELINES: dict = {}  # per-process cache, one pipeline per lang
+
+
+def load_udpipe(lang: str):
+    """Load (and per-process cache) a spacy-udpipe pipeline.
+
+    Raises ImportError when spacy_udpipe is not installed — callers that
+    want a soft fallback catch it (``make_text_tagger``).  Mirrors
+    create_udpipe_pipeline (udpipe_data.py:17-26) minus the implicit
+    network download: a missing model raises with the download command
+    instead of fetching inside a feature pipeline.
+    """
+    import spacy_udpipe  # ImportError -> caller decides (heuristic or raise)
+
+    if lang not in _UDPIPE_PIPELINES:
+        try:
+            _UDPIPE_PIPELINES[lang] = spacy_udpipe.load(lang)
+        except Exception as exc:  # model not downloaded, bad lang, ...
+            raise ValueError(
+                f"UDPipe model for {lang!r} failed to load; run "
+                f"spacy_udpipe.download({lang!r}) once on each node first"
+            ) from exc
+    return _UDPIPE_PIPELINES[lang]
+
+
+def tag_text_udpipe(nlp, text: str) -> Tuple[list, list, list]:
+    """(tokens, pos_tags, dep_tags) from a UDPipe pipeline over raw text.
+
+    Token derivation mirrors the reference exactly (elmo_ner.py:402-415):
+    each spacy token is whitespace-split and every part repeats the parent
+    token's pos_/dep_ — so multi-word UDPipe tokens stay aligned 1:1 with
+    the emitted token list.
+    """
+    tokens, pos_tags, dep_tags = [], [], []
+    for spacy_token in nlp(text):
+        for part in spacy_token.text.split():
+            tokens.append(part)
+            pos_tags.append(spacy_token.pos_)
+            dep_tags.append(spacy_token.dep_)
+    return tokens, pos_tags, dep_tags
+
+
+def make_text_tagger(lang: str | None = None, strict: bool = False):
+    """``text -> (tokens, pos_tags, dep_tags)`` tagger factory.
+
+    The pluggable seam behind the linguistic one-hot channel (§2.10): REAL
+    UD tags when ``lang`` is given and spacy-udpipe is importable (same
+    import-guard pattern as the Pillow/soundfile codec seams in
+    operators/multimodal.py), else the pinned deterministic heuristic with
+    the in-repo tokenizer.  ``strict=True`` raises ImportError instead of
+    silently falling back — for callers that must not train on heuristic
+    tags.  Both paths return the same shape, so downstream
+    ``pos_dep_one_hot`` consumes either.
+    """
+    if lang is not None:
+        try:
+            nlp = load_udpipe(lang)
+        except ImportError:
+            if strict:
+                raise
+        else:
+            return lambda text: tag_text_udpipe(nlp, text)
+
+    def heuristic(text: str) -> Tuple[list, list, list]:
+        toks = [t for t, _, _ in tokenize_with_bounds(text)]
+        tags = [heuristic_pos_dep(t, i) for i, t in enumerate(toks)]
+        return toks, [p for p, _ in tags], [d for _, d in tags]
+
+    return heuristic
+
+
 def pos_dep_one_hot(pos: str, dep: str) -> np.ndarray:
     """18+48 one-hot of POS tag + dependency tag parts (elmo_ner.py:514-531)."""
     vec = np.zeros(len(UNIVERSAL_POS_TAGS) + len(UNIVERSAL_DEPENDENCIES), dtype=np.float32)

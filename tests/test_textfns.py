@@ -204,3 +204,80 @@ def test_hash_embedding_deterministic_unit_norm():
     assert np.allclose(a, b)
     assert not np.allclose(a, c)
     assert abs(np.linalg.norm(a) - 1.0) < 1e-5
+
+
+# --- UDPipe adapter seam (§2.10): dispatch tested BOTH ways hermetically ----
+
+
+class _FakeSpacyToken:
+    def __init__(self, text, pos, dep):
+        self.text, self.pos_, self.dep_ = text, pos, dep
+
+
+class _FakeNlp:
+    """Stands in for a spacy-udpipe pipeline: one multi-word token proves
+    the reference's whitespace-split-and-repeat alignment rule."""
+
+    def __call__(self, text):
+        assert text == "Нью Йорк is big"
+        return [
+            _FakeSpacyToken("Нью Йорк", "PROPN", "nsubj"),
+            _FakeSpacyToken("is", "AUX", "cop"),
+            _FakeSpacyToken("big", "ADJ", "root"),
+        ]
+
+
+def _install_fake_spacy_udpipe(monkeypatch, loads):
+    import sys
+    import types
+
+    fake = types.ModuleType("spacy_udpipe")
+
+    def load(lang):
+        loads.append(lang)
+        return _FakeNlp()
+
+    fake.load = load
+    monkeypatch.setitem(sys.modules, "spacy_udpipe", fake)
+    monkeypatch.setattr(textfns, "_UDPIPE_PIPELINES", {})
+
+
+def test_tagger_seam_real_path_via_fake_module(monkeypatch):
+    loads = []
+    _install_fake_spacy_udpipe(monkeypatch, loads)
+    tagger = textfns.make_text_tagger("ru")
+    toks, pos, dep = tagger("Нью Йорк is big")
+    # the multi-word UDPipe token splits into parts that repeat pos/dep
+    # (elmo_ner.py:402-415)
+    assert toks == ["Нью", "Йорк", "is", "big"]
+    assert pos == ["PROPN", "PROPN", "AUX", "ADJ"]
+    assert dep == ["nsubj", "nsubj", "cop", "root"]
+    # pipeline is cached per process: a second factory call must not reload
+    textfns.make_text_tagger("ru")
+    assert loads == ["ru"]
+
+
+def test_tagger_seam_heuristic_fallback_without_dep():
+    # the sandbox has no spacy_udpipe: lang given, non-strict -> pinned
+    # heuristic with the in-repo tokenizer (same output shape)
+    for tagger in (textfns.make_text_tagger("ru"), textfns.make_text_tagger()):
+        toks, pos, dep = tagger("Moscow is big")
+        assert toks == ["Moscow", "is", "big"]
+        assert (pos[0], dep[0]) == textfns.heuristic_pos_dep("Moscow", 0)
+        assert all(p in textfns.UNIVERSAL_POS_TAGS for p in pos)
+    with pytest.raises(ImportError):
+        textfns.make_text_tagger("ru", strict=True)
+
+
+def test_tagger_udf_heuristic_path(spark):
+    from deep_ner_spark.functions.text import udpipe_tagger_udf
+
+    df = spark.createDataFrame([("Moscow is big",), (None,)], ["text"])
+    rows = (
+        df.select(udpipe_tagger_udf()("text").alias("t"))
+        .select("t.tokens", "t.pos", "t.dep")
+        .collect()
+    )
+    assert rows[0]["tokens"] == ["Moscow", "is", "big"]
+    assert len(rows[0]["pos"]) == len(rows[0]["dep"]) == 3
+    assert rows[1]["tokens"] == []  # null text -> empty arrays, not a crash
