@@ -8,13 +8,16 @@ magic:
 
 - PNG -> Pillow when importable, else a stdlib (zlib+struct) PNG decoder
   (8-bit gray/RGB/RGBA, all 5 scanline filters, non-interlaced);
-- JPEG -> Pillow, or ``NotImplementedError`` naming the missing dep;
+- JPEG -> Pillow when importable, else a stdlib (struct+numpy) BASELINE
+  decoder written from ITU T.81 (SOF0/SOF1 huffman, 8-bit, gray/YCbCr,
+  4:4:4 / 4:2:2 / 4:2:0, restart markers); progressive and arithmetic
+  coding still raise ``NotImplementedError`` naming Pillow;
 - RIFF/WAVE -> soundfile when importable, else the stdlib ``wave`` module
   (8/16-bit PCM, first channel);
 - anything unrecognized -> the md5-chain deterministic fake (when
   ``DETERMINISTIC_FAKE``), which is what the hermetic driver oracles pin.
 
-So real PNG/WAV content decodes for real even in this dependency-free
+So real PNG/JPEG/WAV content decodes for real even in this dependency-free
 container, and swapping in a full codec stack (Pillow/soundfile/pyav)
 changes nothing but availability.  Video has no stdlib codec; its seam
 stays fake-or-raise.
@@ -199,9 +202,235 @@ def _wav_decode(content: bytes) -> np.ndarray:
     return np.ascontiguousarray(arr)
 
 
+# --- stdlib baseline-JPEG decoder (ITU T.81 sequential DCT) -------------------
+
+_ZIGZAG = np.array(
+    [  # zigzag scan order -> (row, col) flat index, T.81 Figure 5
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """8x8 DCT-II basis with T.81 normalization: forward = A s A^T,
+    inverse = A^T S A (a constant-v block has DC exactly 8*v)."""
+    x = np.arange(8, dtype=np.float64)
+    a = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    a[0] /= np.sqrt(2.0)
+    return a
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing;
+    RSTn markers are consumed (byte-aligned) by ``restart``."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos, self.buf, self.nbits = data, pos, 0, 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:  # stuffed literal FF
+                self.pos += 2
+            else:  # a real marker mid-stream: entropy data exhausted
+                raise ValueError(f"unexpected marker FF{nxt:02X} in scan")
+        else:
+            self.pos += 1
+        self.buf = (self.buf << 8) | b
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        out = (self.buf >> self.nbits) & ((1 << n) - 1)
+        self.buf &= (1 << self.nbits) - 1
+        return out
+
+    def restart(self, k: int) -> None:
+        """Byte-align and consume the expected RSTk marker."""
+        self.buf, self.nbits = 0, 0
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + k:
+            raise ValueError("missing JPEG restart marker")
+        self.pos += 2
+
+
+def _huff_decode(br: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.read(1)
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad JPEG huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map an s-bit magnitude to its signed value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_decode(data: bytes) -> np.ndarray:
+    """[h, w, 3] uint8 from a BASELINE JPEG (SOF0/SOF1, huffman, 8-bit),
+    written from the ITU T.81 spec with stdlib + numpy only — the same
+    no-third-party seam as :func:`_png_decode`.  Grayscale broadcasts to
+    3 channels; 4:2:0 / 4:2:2 chroma upsample is nearest-neighbor (the
+    JFIF baseline).  Progressive (SOF2) and arithmetic coding raise —
+    install Pillow for those.  Python-loop entropy decode is fine here:
+    decode is a test/seam path by design (module doc)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple, dict] = {}  # (class 0=DC/1=AC, id) -> {(len, code): sym}
+    comps: list = []  # (id, h, v, tq) in SOF order
+    w = h = None
+    restart_interval = 0
+    pos = 2
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = int.from_bytes(data[pos + 2:pos + 4], "big")
+        seg = data[pos + 4:pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                n = 64 * (2 if pq else 1)
+                raw = seg[i + 1:i + 1 + n]
+                vals = (
+                    np.frombuffer(raw, dtype=">u2") if pq
+                    else np.frombuffer(raw, dtype=np.uint8)
+                ).astype(np.float64)
+                tbl = np.zeros(64)
+                tbl[_ZIGZAG] = vals  # stored in zigzag order
+                qt[tq] = tbl.reshape(8, 8)
+                i += 1 + n
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            if seg[0] != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            n_comp = seg[5]
+            comps = [
+                (seg[6 + 3 * c], seg[7 + 3 * c] >> 4, seg[7 + 3 * c] & 15,
+                 seg[8 + 3 * c])
+                for c in range(n_comp)
+            ]
+        elif marker in (0xC2, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                "progressive/arithmetic JPEG: install Pillow"
+            )
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = seg[i + 1:i + 17]
+                syms = seg[i + 17:i + 17 + sum(counts)]
+                table, code, si = {}, 0, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = syms[si]
+                        code += 1
+                        si += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                i += 17 + sum(counts)
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[:2], "big")
+        elif marker == 0xDA:  # SOS: entropy data follows the segment
+            n_scan = seg[0]
+            scan = {seg[1 + 2 * c]: (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                    for c in range(n_scan)}
+            if w is None or len(scan) != len(comps):
+                raise NotImplementedError(
+                    "non-interleaved/multi-scan JPEG: install Pillow"
+                )
+            break
+    else:
+        raise ValueError("JPEG has no scan")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {
+        cid: np.zeros((mcuy * 8 * v, mcux * 8 * hs))
+        for cid, hs, v, _ in comps
+    }
+    idct = _dct_matrix().T
+    br = _BitReader(data, pos)
+    pred = {cid: 0 for cid, *_ in comps}
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            br.restart(rst)
+            rst = (rst + 1) & 7
+            pred = {cid: 0 for cid in pred}
+        my, mx = divmod(m, mcux)
+        for cid, hs, v, tq in comps:
+            dc_tbl = huff[(0, scan[cid][0])]
+            ac_tbl = huff[(1, scan[cid][1])]
+            for by in range(v):
+                for bx in range(hs):
+                    zz = np.zeros(64)
+                    s = _huff_decode(br, dc_tbl)
+                    pred[cid] += _extend(br.read(s), s)
+                    zz[0] = pred[cid]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(br, ac_tbl)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r != 15:  # EOB (ZRL advances 16)
+                                break
+                            k += 16
+                            continue
+                        k += r
+                        zz[_ZIGZAG[k]] = _extend(br.read(s), s)
+                        k += 1
+                    block = idct @ (zz.reshape(8, 8) * qt[tq]) @ idct.T
+                    y0 = (my * v + by) * 8
+                    x0 = (mx * hs + bx) * 8
+                    planes[cid][y0:y0 + 8, x0:x0 + 8] = block
+    full = []
+    for cid, hs, v, _ in comps:
+        p = planes[cid]
+        if hs < hmax or v < vmax:  # nearest-neighbor chroma upsample
+            p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // hs, axis=1)
+        full.append(p[:h, :w] + 128.0)
+    if len(full) == 1:
+        img = np.repeat(full[0][:, :, None], 3, axis=2)
+    elif len(full) == 3:  # JFIF YCbCr -> RGB
+        y, cb, cr = full
+        img = np.stack(
+            [
+                y + 1.402 * (cr - 128.0),
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                y + 1.772 * (cb - 128.0),
+            ],
+            axis=2,
+        )
+    else:
+        raise NotImplementedError(f"{len(full)}-component JPEG: install Pillow")
+    return np.ascontiguousarray(
+        np.clip(np.rint(img), 0, 255).astype(np.uint8)
+    )
+
+
 def _decode_image(content: bytes, width: int, height: int) -> np.ndarray:
     """[h, w, 3] uint8.  Real container magic -> real codec (PIL when
-    importable, stdlib PNG decode otherwise); opaque blobs -> md5 fake."""
+    importable, stdlib PNG / baseline-JPEG decode otherwise); opaque
+    blobs -> md5 fake."""
     content = bytes(content)  # Arrow hands bytearray
     if content[:8] == _PNG_MAGIC or content[:3] == _JPEG_MAGIC:
         try:
@@ -211,12 +440,11 @@ def _decode_image(content: bytes, width: int, height: int) -> np.ndarray:
 
             img = np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
         except ImportError:
-            if content[:8] == _PNG_MAGIC:
-                img = _png_decode(content)
-            else:
-                raise NotImplementedError(
-                    "JPEG content needs Pillow (pip install pillow)"
-                ) from None
+            img = (
+                _png_decode(content)
+                if content[:8] == _PNG_MAGIC
+                else _jpeg_decode(content)
+            )
         # a blob whose real dimensions disagree with the declared metadata
         # would otherwise pass silently and drift every downstream shape
         # assumption off the schema — fail loudly at the decode seam

@@ -210,8 +210,9 @@ def test_real_codec_dispatch_end_to_end(spark):
 
 def test_unrecognized_container_still_raises_without_fake(monkeypatch):
     monkeypatch.setattr(mm, "DETERMINISTIC_FAKE", False)
-    # JPEG magic with no Pillow in this container: actionable error
-    with pytest.raises(NotImplementedError, match="Pillow"):
+    # JPEG magic but a truncated/garbage stream: a clear ValueError from
+    # the stdlib decoder (it no longer needs Pillow for baseline JPEG)
+    with pytest.raises(ValueError):
         mm._decode_image(b"\xff\xd8\xff\xe0rest", 4, 4)
     # real PNG decodes even with fakes disabled
     img = np.zeros((2, 2, 3), dtype=np.uint8)
@@ -245,3 +246,201 @@ def test_video_frame_sample(spark):
              for r in mm.video_frame_sample(vids, n_out=4).collect()}
     assert all(again[(r["media_id"], r["sample_idx"])] == r["mean_intensity"]
                for r in rows)
+
+
+# --- stdlib baseline-JPEG decoder ---------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc, self.n = 0, 0
+
+    def put(self, code: int, length: int):
+        self.acc = (self.acc << length) | code
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.acc &= (1 << self.n) - 1
+
+    def pad(self):
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # 1-fill
+
+
+def _huff_spec(symbols):
+    """One fixed-length canonical table over the given symbols: (bits16,
+    vals, code_of) matching the T.81 canonical assignment the decoder
+    rebuilds from DHT."""
+    length = max(2, len(symbols).bit_length() + 1)  # < 2^L - 1 codes
+    bits = [0] * 16
+    bits[length - 1] = len(symbols)
+    return bits, list(symbols), {s: (length, i) for i, s in enumerate(symbols)}
+
+
+def _size_cat(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _jpeg_encode(img: np.ndarray, subsample=False, restart_interval=0) -> bytes:
+    """Test-fixture baseline-JPEG encoder (stdlib struct + numpy): all-ones
+    quant tables, per-image canonical Huffman tables, optional 4:2:0
+    subsampling and restart markers — exercises every decoder branch."""
+    import struct
+
+    A = mm._dct_matrix()
+    if img.ndim == 2:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        r, g, b = (img[:, :, c].astype(np.float64) for c in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+    h, w = img.shape[:2]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    padded = []
+    for p, (hs, v) in zip(planes, samp):
+        if (hs, v) != (hmax, vmax):  # chroma downsample by block mean
+            fy, fx = vmax // v, hmax // hs
+            ph, pw = -(-p.shape[0] // fy) * fy, -(-p.shape[1] // fx) * fx
+            p = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), "edge")
+            p = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        th, tw = mcuy * 8 * v, mcux * 8 * hs
+        p = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), "edge")
+        padded.append(p)
+
+    # coefficient pass: collect (per-MCU, interleaved) blocks + symbol stats
+    mcus, pred = [], [0] * len(planes)
+    dc_syms, ac_syms = set(), set()
+    n_restarts = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            pred = [0] * len(planes)
+            n_restarts += 1
+        my, mx = divmod(m, mcux)
+        units = []
+        for ci, (p, (hs, v)) in enumerate(zip(padded, samp)):
+            for by in range(v):
+                for bx in range(hs):
+                    blk = p[(my * v + by) * 8:(my * v + by) * 8 + 8,
+                            (mx * hs + bx) * 8:(mx * hs + bx) * 8 + 8]
+                    co = np.rint(A @ (blk - 128.0) @ A.T).astype(np.int64)
+                    zz = co.reshape(-1)[mm._ZIGZAG]
+                    diff = int(zz[0]) - pred[ci]
+                    pred[ci] = int(zz[0])
+                    dc_syms.add(_size_cat(diff))
+                    run = 0
+                    acs = []
+                    for k in range(1, 64):
+                        if zz[k] == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            acs.append((0xF0, 0, 0))
+                            ac_syms.add(0xF0)
+                            run -= 16
+                        s = _size_cat(int(zz[k]))
+                        acs.append(((run << 4) | s, int(zz[k]), s))
+                        ac_syms.add((run << 4) | s)
+                        run = 0
+                    if run:
+                        acs.append((0x00, 0, 0))
+                        ac_syms.add(0x00)
+                    units.append((ci, diff, acs))
+        mcus.append(units)
+
+    dc_bits, dc_vals, dc_code = _huff_spec(sorted(dc_syms))
+    ac_bits, ac_vals, ac_code = _huff_spec(sorted(ac_syms))
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + b"\x01" * 64
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * len(planes), 8, h, w,
+                                     len(planes))
+    for ci, (hs, v) in enumerate(samp):
+        out += struct.pack(">BBB", ci + 1, (hs << 4) | v, 0)
+    for tc, (bits, vals) in ((0, (dc_bits, dc_vals)), (1, (ac_bits, ac_vals))):
+        out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(vals), tc << 4)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 2 + 1 + 2 * len(planes) + 3,
+                                     len(planes))
+    for ci in range(len(planes)):
+        out += struct.pack(">BB", ci + 1, 0x00)  # DC table 0, AC table 0
+    out += b"\x00\x3f\x00"
+
+    bw = _BitWriter()
+    rst = 0
+    for m, units in enumerate(mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.pad()
+            bw.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
+        for _ci, diff, acs in units:
+            s = _size_cat(diff)
+            bw.put(*reversed(dc_code[s]))
+            if s:
+                bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            for sym, val, sv in acs:
+                bw.put(*reversed(ac_code[sym]))
+                if sv:
+                    bw.put(val if val > 0 else val + (1 << sv) - 1, sv)
+    bw.pad()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_decode_flat_color_exact():
+    """All-ones quant + flat color: every AC is 0 and the DC is exact, so
+    the decode must be EXACT (incl. the 4:2:0 path, where block-constant
+    chroma survives mean-downsample + nearest-upsample unchanged)."""
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:] = (200, 30, 90)
+    for subsample in (False, True):
+        got = mm._decode_image(_jpeg_encode(img, subsample=subsample), 16, 16)
+        assert got.shape == (16, 16, 3)
+        assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 1
+    g = np.full((8, 8), 173, dtype=np.uint8)
+    got_g = mm._decode_image(_jpeg_encode(g), 8, 8)
+    assert np.array_equal(got_g, np.repeat(g[:, :, None], 3, axis=2))
+
+
+def test_jpeg_decode_random_roundtrip_within_rounding():
+    """Random RGB + gray, non-multiple-of-8 dims, 4:4:4: with unit quant
+    tables the only loss is coefficient rounding (<=0.5 each), so the
+    round-trip error is bounded by a few LSBs."""
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(19, 13, 3), dtype=np.uint8)
+    got = mm._decode_image(_jpeg_encode(img), 13, 19)
+    assert got.shape == (19, 13, 3)
+    err = np.abs(got.astype(int) - img.astype(int))
+    assert err.max() <= 4 and err.mean() < 1.5
+    g = rng.integers(0, 256, size=(10, 17), dtype=np.uint8)
+    got_g = mm._decode_image(_jpeg_encode(g), 17, 10)
+    err_g = np.abs(got_g[:, :, 0].astype(int) - g.astype(int))
+    assert got_g.shape == (10, 17, 3) and err_g.max() <= 3
+    assert np.array_equal(got_g[:, :, 0], got_g[:, :, 1])
+
+
+def test_jpeg_decode_restart_markers_and_errors():
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    blob = _jpeg_encode(img, restart_interval=2)
+    assert b"\xff\xd0" in blob  # RST0 actually present in the stream
+    got = mm._decode_image(blob, 40, 24)
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 4
+    with pytest.raises(ValueError):
+        mm._jpeg_decode(b"\x00\x01")
+    # progressive SOF2 is an actionable NotImplementedError, not garbage
+    prog = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        mm._jpeg_decode(prog)
