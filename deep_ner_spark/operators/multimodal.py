@@ -14,13 +14,18 @@ magic:
   coding still raise ``NotImplementedError`` naming Pillow;
 - RIFF/WAVE -> soundfile when importable, else the stdlib ``wave`` module
   (8/16-bit PCM, first channel);
+- RIFF/AVI video -> a stdlib RIFF chunk walker yielding a seek-addressable
+  per-frame index; MJPEG frames decode through the JPEG seam above,
+  uncompressed DIB frames (8-bit gray / 24-bit BGR, bottom-up, 4-byte row
+  stride) through struct+numpy; other FourCCs raise naming pyav/ffmpeg;
 - anything unrecognized -> the md5-chain deterministic fake (when
   ``DETERMINISTIC_FAKE``), which is what the hermetic driver oracles pin.
 
-So real PNG/JPEG/WAV content decodes for real even in this dependency-free
-container, and swapping in a full codec stack (Pillow/soundfile/pyav)
-changes nothing but availability.  Video has no stdlib codec; its seam
-stays fake-or-raise.
+So real PNG/JPEG/WAV/MJPEG-AVI content decodes for real even in this
+dependency-free container, and swapping in a full codec stack
+(Pillow/soundfile/pyav) changes nothing but availability.  Inter-frame
+codecs (H.264 etc.) have no stdlib decoder; those blobs stay
+fake-or-raise behind the same seam.
 
 Scale notes: media blobs are the heaviest columns a pipeline carries, so
 every operator here is a narrow ``mapInPandas`` pass (no shuffle, blobs
@@ -612,13 +617,140 @@ VIDEO_SCHEMA = T.StructType(
 )
 
 
-def _decode_video_frame(content: bytes, frame_idx: int, width: int, height: int) -> np.ndarray:
-    """[h, w] uint8 grayscale frame.  Real impl: ffmpeg/pyav seek+decode.
+# --- stdlib AVI (RIFF) video: MJPEG + uncompressed DIB frames -----------------
 
-    Fake: per-frame md5 chain seeded by (md5(content), frame_idx) — every
-    frame is independently addressable without decoding its predecessors,
-    mirroring keyframe seeks, and any engine with md5 can recompute it.
+_AVI_MAGIC = (b"RIFF", b"AVI ")  # bytes [0:4] and [8:12]
+
+
+def _avi_index(data: bytes):
+    """Parse a RIFF/AVI container with stdlib struct only: returns
+    (width, height_signed, bit_count, compression_fourcc, frames) where
+    frames is a tuple of (offset, size) into ``data`` for stream 0's
+    ``00db``/``00dc`` chunks, in stream order.  The index makes every
+    frame independently seek-addressable — the access pattern
+    :func:`video_frame_sample` relies on (no sequential decode).  Cached
+    per blob so sampling k frames walks the chunk tree once."""
+    import struct
+
+    if data[:4] != _AVI_MAGIC[0] or data[8:12] != _AVI_MAGIC[1]:
+        raise ValueError("not an AVI")
+    width = height = bit_count = comp = None
+    frames: list[tuple[int, int]] = []
+
+    def scan(pos: int, end: int) -> None:
+        nonlocal width, height, bit_count, comp
+        while pos + 8 <= end:
+            cid = data[pos:pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+            body = pos + 8
+            if cid == b"LIST":
+                if data[body:body + 4] in (b"hdrl", b"strl", b"movi"):
+                    scan(body + 4, body + size)
+            elif cid == b"strf" and width is None:
+                # BITMAPINFOHEADER: biWidth/biHeight are SIGNED (negative
+                # height = top-down rows); keep the sign for the DIB path
+                width, height = struct.unpack("<ii", data[body + 4:body + 12])
+                (bit_count,) = struct.unpack("<H", data[body + 14:body + 16])
+                comp = data[body + 16:body + 20]
+            elif cid[:2] == b"00" and cid[2:4] in (b"db", b"dc"):
+                frames.append((body, size))
+            pos = body + size + (size & 1)  # RIFF chunks are word-aligned
+
+    scan(12, min(len(data), 8 + int.from_bytes(data[4:8], "little")))
+    if width is None:
+        raise ValueError("AVI missing strf (BITMAPINFOHEADER)")
+    return width, height, bit_count, comp, tuple(frames)
+
+
+# tiny per-executor memo: repeated frame seeks into the same blob reuse one
+# chunk walk; keyed by content md5 (bytes themselves would pin large blobs)
+_AVI_INDEX_CACHE: dict[str, tuple] = {}
+
+
+def _rgb_to_gray(img: np.ndarray) -> np.ndarray:
+    """BT.601 luma, integer-rounded — the conventional Y' of the JFIF/AVI
+    world; channel-equal (gray-content) frames pass through exactly."""
+    r, g, b = (img[:, :, c].astype(np.float64) for c in range(3))
+    return np.clip(
+        np.rint(0.299 * r + 0.587 * g + 0.114 * b), 0, 255
+    ).astype(np.uint8)
+
+
+def _avi_decode_frame(data: bytes, frame_idx: int) -> np.ndarray:
+    """[h, w] uint8 grayscale from AVI frame ``frame_idx``.  MJPEG frames
+    route through the image seam (Pillow when importable, else the stdlib
+    baseline-JPEG decoder); ``00db`` DIB frames decode 8-bit gray or
+    24-bit BGR with bottom-up rows and 4-byte stride per the BMP layout.
+    Inter-frame FourCCs raise an actionable error naming pyav/ffmpeg."""
+    key = hashlib.md5(data).hexdigest()
+    idx = _AVI_INDEX_CACHE.get(key)
+    if idx is None:
+        idx = _avi_index(data)
+        if len(_AVI_INDEX_CACHE) > 64:
+            _AVI_INDEX_CACHE.clear()
+        _AVI_INDEX_CACHE[key] = idx
+    w, h_signed, bit_count, comp, frames = idx
+    if not 0 <= frame_idx < len(frames):
+        raise ValueError(
+            f"AVI frame {frame_idx} out of range ({len(frames)} frames in "
+            "the container — metadata n_frames disagrees with the stream?)"
+        )
+    off, size = frames[frame_idx]
+    buf = data[off:off + size]
+    if comp in (b"MJPG", b"mjpg") or buf[:3] == _JPEG_MAGIC:
+        try:
+            import io
+
+            from PIL import Image
+
+            rgb = np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))
+        except ImportError:
+            rgb = _jpeg_decode(buf)
+        return _rgb_to_gray(rgb)
+    if comp == b"\x00\x00\x00\x00":  # BI_RGB: uncompressed DIB
+        absh = abs(h_signed)
+        if bit_count == 24:
+            stride = (w * 3 + 3) & ~3
+            rows = np.frombuffer(buf[:stride * absh], np.uint8)
+            bgr = rows.reshape(absh, stride)[:, :w * 3].reshape(absh, w, 3)
+            gray = _rgb_to_gray(bgr[:, :, ::-1])
+        elif bit_count == 8:
+            stride = (w + 3) & ~3
+            rows = np.frombuffer(buf[:stride * absh], np.uint8)
+            gray = rows.reshape(absh, stride)[:, :w]
+        else:
+            raise NotImplementedError(
+                f"{bit_count}-bit DIB AVI frames not supported"
+            )
+        # positive biHeight = bottom-up row order, per the BMP layout
+        return np.ascontiguousarray(gray[::-1] if h_signed > 0 else gray)
+    raise NotImplementedError(
+        f"AVI codec {comp!r} needs a real video stack (pyav/ffmpeg); "
+        "stdlib decode covers MJPG and uncompressed DIB"
+    )
+
+
+def _decode_video_frame(content: bytes, frame_idx: int, width: int, height: int) -> np.ndarray:
+    """[h, w] uint8 grayscale frame.  RIFF/AVI containers decode for real
+    (MJPEG via the stdlib JPEG seam, uncompressed DIB via struct+numpy;
+    Pillow preferred for the JPEG step when importable) and fail loudly
+    when the decoded shape disagrees with the declared metadata — the
+    same contract as :func:`_decode_image`.  Inter-frame codecs raise.
+
+    Fake (unrecognized containers): per-frame md5 chain seeded by
+    (md5(content), frame_idx) — every frame is independently addressable
+    without decoding its predecessors, mirroring keyframe seeks, and any
+    engine with md5 can recompute it.
     """
+    content = bytes(content)  # Arrow hands bytearray
+    if content[:4] == _AVI_MAGIC[0] and content[8:12] == _AVI_MAGIC[1]:
+        frame = _avi_decode_frame(content, frame_idx)
+        if frame.shape != (height, width):
+            raise ValueError(
+                f"AVI frame shape {frame.shape} disagrees with declared "
+                f"metadata ({height}, {width})"
+            )
+        return frame
     if not DETERMINISTIC_FAKE:
         raise NotImplementedError("video codec not available in this container")
     seed_hex = hashlib.md5(content).hexdigest()

@@ -444,3 +444,143 @@ def test_jpeg_decode_restart_markers_and_errors():
     prog = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(NotImplementedError, match="Pillow"):
         mm._jpeg_decode(prog)
+
+
+# --- stdlib AVI (MJPEG / uncompressed DIB) video decode ------------------------
+
+
+def _avi_encode(frames, codec="dib8", top_down=False):
+    """Test-fixture AVI encoder (stdlib struct): one vids stream; frames as
+    ``00db`` uncompressed DIB chunks (8-bit gray or 24-bit BGR, 4-byte row
+    stride, bottom-up unless ``top_down``) or ``00dc`` MJPEG chunks reusing
+    the baseline-JPEG fixture encoder above."""
+    import struct
+
+    h, w = frames[0].shape[:2]
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    if codec == "mjpeg":
+        comp, bits, tag = b"MJPG", 24, b"00dc"
+        payloads = [_jpeg_encode(f) for f in frames]
+    else:
+        comp, tag = b"\x00\x00\x00\x00", b"00db"
+        bits = 8 if codec == "dib8" else 24
+        payloads = []
+        for f in frames:
+            if bits == 8:
+                stride = (w + 3) & ~3
+                rows = np.zeros((h, stride), np.uint8)
+                rows[:, :w] = f
+            else:
+                stride = (w * 3 + 3) & ~3
+                rows = np.zeros((h, stride), np.uint8)
+                rows[:, : w * 3] = f[:, :, ::-1].reshape(h, w * 3)  # RGB->BGR
+            payloads.append((rows if top_down else rows[::-1]).tobytes())
+    avih = struct.pack("<14I", 40000, 0, 0, 0, len(frames), 0, 1, 0, w, h,
+                       0, 0, 0, 0)
+    strh = (b"vids" + comp
+            + struct.pack("<IHHIIIIIII", 0, 0, 0, 0, 1, 25, 0, len(frames),
+                          0, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h, 1,
+                       bits, int.from_bytes(comp, "little"), 0, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(tag, p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_dib_decode_bit_exact_end_to_end(spark):
+    """8-bit DIB frames are lossless, so the sampled mean intensities must
+    be BIT-exact through the full mapInPandas operator."""
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, size=(12, 10), dtype=np.uint8)
+              for _ in range(6)]
+    blob = _avi_encode(frames, codec="dib8")
+    df = spark.createDataFrame(
+        [(1, bytearray(blob), ("dib", 10, 12, 6, 25.0))],
+        schema=mm.VIDEO_SCHEMA,
+    )
+    got = {r["sample_idx"]: (r["frame_idx"], r["mean_intensity"])
+           for r in mm.video_frame_sample(df, n_out=4).collect()}
+    assert len(got) == 4
+    for k in range(4):
+        f = (k * 6) // 4
+        want = float(np.float32(int(frames[f].astype(np.int64).sum()) / 120))
+        assert got[k] == (f, want)
+
+
+def test_avi_dib_topdown_and_bgr24():
+    rng = np.random.default_rng(11)
+    gray = [rng.integers(0, 256, size=(9, 7), dtype=np.uint8)
+            for _ in range(3)]
+    up = _avi_encode(gray, codec="dib8")
+    down = _avi_encode(gray, codec="dib8", top_down=True)
+    for i in range(3):
+        a = mm._avi_decode_frame(up, i)
+        b = mm._avi_decode_frame(down, i)
+        assert np.array_equal(a, gray[i]) and np.array_equal(b, gray[i])
+    rgb = [rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+           for _ in range(2)]
+    blob24 = _avi_encode(rgb, codec="dib24")
+    for i in range(2):
+        assert np.array_equal(mm._avi_decode_frame(blob24, i),
+                              mm._rgb_to_gray(rgb[i]))
+
+
+def test_avi_mjpeg_decode(spark):
+    """Flat-color MJPEG frames decode exactly (unit quant tables, every AC
+    zero); channel-equal random frames stay within JPEG rounding."""
+    flats = [np.full((16, 8), v, dtype=np.uint8) for v in (0, 77, 200, 255)]
+    blob = _avi_encode(flats, codec="mjpeg")
+    for i, f in enumerate(flats):
+        assert np.array_equal(mm._avi_decode_frame(blob, i), f)
+    df = spark.createDataFrame(
+        [(3, bytearray(blob), ("mjpeg", 8, 16, 4, 25.0))],
+        schema=mm.VIDEO_SCHEMA,
+    )
+    rows = mm.video_frame_sample(df, n_out=4).collect()
+    assert {(r["sample_idx"], r["frame_idx"]) for r in rows} == {
+        (k, k) for k in range(4)
+    }
+    for r in rows:
+        assert r["mean_intensity"] == float(flats[r["frame_idx"]][0, 0])
+    rng = np.random.default_rng(3)
+    noisy = [rng.integers(0, 256, size=(10, 13), dtype=np.uint8)
+             for _ in range(2)]
+    nblob = _avi_encode(noisy, codec="mjpeg")
+    for i, f in enumerate(noisy):
+        err = np.abs(mm._avi_decode_frame(nblob, i).astype(int)
+                     - f.astype(int))
+        assert err.max() <= 4
+
+
+def test_avi_decode_error_contract():
+    frames = [np.zeros((8, 8), dtype=np.uint8)]
+    blob = _avi_encode(frames, codec="dib8")
+    # metadata n_frames beyond the container's actual stream
+    with pytest.raises(ValueError, match="out of range"):
+        mm._decode_video_frame(blob, 5, 8, 8)
+    # declared dims disagreeing with the decoded frame
+    with pytest.raises(ValueError, match="disagrees"):
+        mm._decode_video_frame(blob, 0, 4, 4)
+    # inter-frame codec: actionable error naming a real video stack
+    # (flip the strf compression field to a FourCC we can't decode)
+    i = blob.find(b"strf")
+    bad = bytearray(blob)
+    bad[i + 8 + 16:i + 8 + 20] = b"H264"
+    with pytest.raises(NotImplementedError, match="pyav"):
+        mm._avi_decode_frame(bytes(bad), 0)
+    # truncated/garbage AVI
+    with pytest.raises(ValueError):
+        mm._avi_index(b"RIFF\x04\x00\x00\x00AVI ")
+    # unrecognized containers still hit the deterministic fake
+    fake = mm._decode_video_frame(b"not-a-container", 0, 4, 4)
+    assert fake.shape == (4, 4)
