@@ -44,7 +44,8 @@ def _burn_child(_: int) -> float:
 
 
 def main() -> int:
-    label = sys.argv[1] if len(sys.argv) > 1 else ""
+    args = [a for a in sys.argv[1:] if a != "--label"]
+    label = args[0] if args else ""
     _burn(100_000)  # warm the interpreter
     singles = [_burn() for _ in range(3)]
     nproc = 32
