@@ -370,7 +370,11 @@ def test_streaming_asof_entry_harness_contract(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
 
     tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # same content-stamped key as the entry (r7: regenerated fixture bytes
+    # must invalidate the cache, so the key carries a content stamp)
+    key = hashlib.md5(
+        f"{sf_dir}|{e._content_stamp(sf_dir, 'events')}".encode()
+    ).hexdigest()[:12]
     in_dir = f"{tmp_root}/deep_ner_stream_q_cache/{key}/in"
     assert os.path.exists(f"{in_dir}/_READY")
     stamp = {f: os.path.getmtime(os.path.join(in_dir, f))
