@@ -119,6 +119,7 @@ def jaccard_pairs(
     threshold: float = 0.8,
     strategy: str = "auto",
     materialize: bool = True,
+    verify_broadcast_max_docs: int = 500_000,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard similarity — EXACT under
     every strategy; the strategy only changes candidate generation.
@@ -126,16 +127,21 @@ def jaccard_pairs(
     * ``prefix`` (PPJoin-style, the default at every threshold): J(x,y) >= t
       implies |x ∩ y| >= ceil(t*|x|), so a qualifying pair shares a shingle
       among each side's first |x| - ceil(t*|x|) + 1 shingles in a global
-      rare-shingle-first order.  Candidates are further pruned by PPJoin's
-      length filter (min(|x|,|y|) >= t*max(|x|,|y|), since the intersection
-      is bounded by the smaller set and must cover t of the union) and
+      rare-shingle-first order.  Candidate generation is ASYMMETRIC (the
+      PPJoin indexing/probing split, Xiao et al. WWW'08): per pair the
+      lesser side by (size, id) only needs its first
+      |x| - ceil(2t/(1+t)*|x|) + 1 shingles ("index prefix") — if every
+      common shingle sat deeper, overlap < 2t/(1+t)*|x| <= the required
+      t/(1+t)*(|x|+|y|) since |y| >= |x| — which cuts the candidate join
+      ~35% over symmetric prefixes.  Candidates are further pruned by
+      PPJoin's length filter (min(|x|,|y|) >= t*max(|x|,|y|)) and
       positional filter (for the matched prefix shingle at positions
       (pa, pb), overlap <= 1 + min(|x|-pa, |y|-pb), which must reach the
       Jaccard-equivalent overlap t/(1+t)*(|x|+|y|); the first common shingle
-      of a qualifying pair always survives, so recall stays exact).  On a
-      web-scale corpus a stop-shingle's join group no longer scales with the
-      number of documents containing it, only with the number whose PREFIX
-      contains it — documents made mostly of stop-shingles.
+      of a qualifying pair always survives all three filters, so recall
+      stays exact).  On a web-scale corpus a stop-shingle's join group no
+      longer scales with the number of documents containing it, only with
+      the number whose PREFIX contains it.
     * ``naive``: full shared-shingle self-join.  O(corpus^2) on hot
       shingles — kept only as a cross-check/baseline; never chosen by auto.
 
@@ -149,6 +155,28 @@ def jaccard_pairs(
     is garbage-collected, so repeated calls don't accumulate storage; the
     trade-off is no lineage recompute on executor loss (re-run the query),
     the standard choice for multi-pass set-similarity joins.
+
+    Verification physics (r8, measured at a 50k-doc sf with a SATURATED
+    shingle space — 28k distinct shingles, mean df 94, 18.5M candidates
+    for 2.5k true pairs): shipping per-candidate STRING shingle arrays
+    through two sort-merge joins cost 52.9s — the arrays dominated every
+    exchange and ``array_intersect`` re-hashed ~100 strings per pair.  Two
+    changes, exact by construction, took it to 7.8s:
+
+    * shingles are dictionary-encoded to dense ints (``row_number`` over
+      the distinct-shingle frame — deterministic, so safe to recompute
+      under ``materialize=False``; the bijection makes int-array
+      intersection counts equal string-set intersection counts).  At
+      corpus scale the single-partition id window would not fly — swap in
+      ``monotonically_increasing_id`` over the *materialized* dictionary
+      (injectivity is all that is needed) when the dictionary outgrows one
+      task.
+    * the per-doc array side is BROADCAST when it has at most
+      ``verify_broadcast_max_docs`` rows (~0.5 GB at web-doc shingle
+      counts): candidates then flow through two broadcast hash joins with
+      no exchange at all.  Catalyst's own size estimate for a
+      collect_list aggregate is far above threshold, so the hint is
+      explicit; past the cap the shuffle join keeps working at any scale.
     """
     if strategy == "auto":
         strategy = "prefix"
@@ -161,25 +189,47 @@ def jaccard_pairs(
     sh = _mat(doc_shingles(df, id_col, text_col, n))
 
     if strategy == "prefix":
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        ranked = sh.join(freq, "shingle")
-
         from pyspark.sql.window import Window
 
-        w = Window.partitionBy(id_col).orderBy("df", "shingle")
-        prefix = _mat(
-            ranked.withColumn("pos", F.row_number().over(w)).where(
-                F.col("pos")
-                <= F.col("size") - F.ceil(F.lit(threshold) * F.col("size")) + 1
-            ).select(id_col, "shingle", "pos", "size")
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        # dense-int dictionary: sid monotone in shingle, so ordering by
+        # (df, sid) equals the canonical (df, shingle) rare-first order
+        sids = _mat(
+            freq.withColumn("sid", F.row_number().over(Window.orderBy("shingle")))
         )
-        a = prefix.alias("a")
-        b = prefix.alias("b")
+        sh_i = sh.join(sids, "shingle").select(id_col, "size", "df", "sid")
+
+        w = Window.partitionBy(id_col).orderBy("df", "sid")
+        probe_len = (
+            F.col("size") - F.ceil(F.lit(threshold) * F.col("size")) + 1
+        )
+        index_len = (
+            F.col("size")
+            - F.ceil(F.lit(2.0 * threshold / (1.0 + threshold)) * F.col("size"))
+            + 1
+        )
+        prefix = _mat(
+            sh_i.withColumn("pos", F.row_number().over(w))
+            .where(F.col("pos") <= probe_len)
+            .select(
+                id_col,
+                "sid",
+                "pos",
+                "size",
+                (F.col("pos") <= index_len).alias("in_index"),
+            )
+        )
+        a = prefix.alias("a")  # index side: lesser (size, id)
+        b = prefix.alias("b")  # probe side
         sa_c, sb_c = F.col("a.size"), F.col("b.size")
+        aid, bid = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
         overlap_needed = F.lit(threshold / (1.0 + threshold)) * (sa_c + sb_c)
         cand = (
-            a.join(b, on="shingle")
-            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            a.join(b, on="sid")
+            # asymmetric prefix: the (size, id)-lesser side must match
+            # within its shorter index prefix
+            .where(F.col("a.in_index"))
+            .where((sa_c < sb_c) | ((sa_c == sb_c) & (aid < bid)))
             # length filter: min size must reach t * max size
             .where(F.least(sa_c, sb_c) >= F.lit(threshold) * F.greatest(sa_c, sb_c))
             # positional filter: remaining-suffix overlap bound
@@ -188,29 +238,38 @@ def jaccard_pairs(
                 >= overlap_needed
             )
             .select(
-                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+                F.least(aid, bid).alias("id_a"), F.greatest(aid, bid).alias("id_b")
             )
             .distinct()
         )
-        # exact verification: JVM array_intersect on the two shingle arrays.
-        # The arrays are REBUILT from the already-materialized long form
-        # ``sh`` (semi-join on candidate ids, then collect_list) — the
+        # the candidate frame feeds BOTH the id semi-join below and the
+        # verify joins; without materialization the whole candidate
+        # self-join runs twice (measured ~3.8s/pass at the 50k-doc sf)
+        cand = _mat(cand)
+        # exact verification: JVM array_intersect on the two shingle-id
+        # arrays.  The arrays are REBUILT from the already-materialized
+        # long form (semi-join on candidate ids, then collect_list) — the
         # shingle HOF chain is never re-evaluated and the corpus text is
-        # never re-scanned for this step (the HOF chain dominates the
-        # shingle stage ~4-8x, and candidates << corpus at any useful
-        # threshold; shingle sets are distinct by construction, so
-        # collect_list reconstructs the set and order is irrelevant to
-        # array_intersect).
+        # never re-scanned for this step (shingle sets are distinct by
+        # construction, so collect_list reconstructs the set and order is
+        # irrelevant to array_intersect).
         cand_ids = (
             cand.select(F.col("id_a").alias(id_col))
             .union(cand.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
         cand_arrays = _mat(
-            sh.join(cand_ids, id_col)
+            sh_i.join(cand_ids, id_col)
             .groupBy(id_col, "size")
-            .agg(F.collect_list("shingle").alias("__sh"))
+            .agg(F.collect_list("sid").alias("__sh"))
         )
+        # broadcast the (materialized, hence cheaply countable) array side
+        # when small: candidates then never enter an exchange
+        bcast = (
+            materialize
+            and cand_arrays.count() <= verify_broadcast_max_docs
+        )
+        wrap = F.broadcast if bcast else (lambda d: d)
         arr_a = cand_arrays.select(
             F.col(id_col).alias("id_a"),
             F.col("__sh").alias("__sh_a"),
@@ -222,8 +281,8 @@ def jaccard_pairs(
             F.col("size").alias("size_b"),
         )
         out = (
-            cand.join(arr_a, "id_a")
-            .join(arr_b, "id_b")
+            cand.join(wrap(arr_a), "id_a")
+            .join(wrap(arr_b), "id_b")
             .withColumn("inter", F.size(F.array_intersect("__sh_a", "__sh_b")).cast("long"))
         )
     else:
