@@ -2358,16 +2358,22 @@ def q_streaming_asof(spark, sf_dir):
     result equals the batch as-of exactly (out-of-order/late behavior is
     covered by the unit test's adversarial stream instead).
 
-    Harness layout (trimmed r6 — the cost is micro-batch count, not the
-    operator): 3 time-ordered real chunks + a far-future flush-sentinel
-    turn as a 4th mtime-ordered file, all in a single pass.  With
-    maxFilesPerTrigger=1 each file is its own micro-batch, the watermark
-    advances between them, and the trailing no-data micro-batch (on by
-    default) sees the sentinel-advanced watermark, fires every key's
-    event-time timeout and flushes the remaining real turns — replacing
-    the old second stream pass.  The immutable input chunks are cached in
-    tmpfs across sessions (fixture prep, not the measured operator);
-    checkpoint + sink dirs stay fresh per run."""
+    Harness layout (trimmed again in r8 — profiling pinned the residual
+    floor to micro-batch count x ~1s of fixed JVM state-store machinery
+    per batch, not the operator): ONE time-ordered real chunk + a
+    far-future flush-sentinel turn as a 2nd mtime-ordered file, all in a
+    single pass.  With maxFilesPerTrigger=1 each file is its own
+    micro-batch, the sentinel batch drags the watermark past every real
+    turn, and the trailing no-data micro-batch (on by default) fires every
+    key's event-time timeout and flushes all buffered turns — 3
+    micro-batches total where the r6 layout paid 5 (r6's three real
+    chunks only exercised incremental watermark advance, which the unit
+    tests' adversarial streams already cover; the oracle result is
+    identical because emission is watermark-gated, not chunk-gated).  The
+    immutable input chunks are cached in tmpfs across sessions (fixture
+    prep, not the measured operator; the cache key carries a layout tag so
+    caches from older chunk layouts are not reused); checkpoint + sink
+    dirs stay fresh per run."""
     import hashlib
     import os
     import shutil
@@ -2380,14 +2386,13 @@ def q_streaming_asof(spark, sf_dir):
     # invalidate the cached chunks, or the streaming result silently
     # diverges from the fresh batch oracle (round-6 ADVICE)
     cache_key = hashlib.md5(
-        f"{sf_dir}|{_content_stamp(sf_dir, 'events')}".encode()
+        f"{sf_dir}|{_content_stamp(sf_dir, 'events')}|chunks1".encode()
     ).hexdigest()[:12]
     in_dir = f"{tmp_root}/deep_ner_stream_q_cache/{cache_key}/in"
     base = f"{tmp_root}/deep_ner_stream_q/{uuid.uuid4().hex}"
     out_dir, ckpt = f"{base}/out", f"{base}/ckpt"
 
     if not os.path.exists(f"{in_dir}/_READY"):
-        import numpy as np
         import pandas as pd
 
         ev = _read(spark, sf_dir, "events")
@@ -2434,7 +2439,7 @@ def q_streaming_asof(spark, sf_dir):
                         stamped.add(p)
             stamp[0] += 10
 
-        for chunk in list(np.array_split(pdf, 3)) + [flush]:
+        for chunk in [pdf, flush]:
             spark.createDataFrame(
                 chunk[["conv_id", "is_state", "ts", "seq", "value"]]
             ).select(

@@ -371,9 +371,10 @@ def test_streaming_asof_entry_harness_contract(spark):
 
     tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     # same content-stamped key as the entry (r7: regenerated fixture bytes
-    # must invalidate the cache, so the key carries a content stamp)
+    # must invalidate the cache, so the key carries a content stamp; r8:
+    # plus a chunk-layout tag so old-layout caches are not reused)
     key = hashlib.md5(
-        f"{sf_dir}|{e._content_stamp(sf_dir, 'events')}".encode()
+        f"{sf_dir}|{e._content_stamp(sf_dir, 'events')}|chunks1".encode()
     ).hexdigest()[:12]
     in_dir = f"{tmp_root}/deep_ner_stream_q_cache/{key}/in"
     assert os.path.exists(f"{in_dir}/_READY")
