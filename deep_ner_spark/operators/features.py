@@ -405,6 +405,157 @@ def make_fused_featurize_udf(
     return fused
 
 
+def make_fused_featurize_arrow_fn(
+    vocab: Tuple[str, ...],
+    max_seq_length: int,
+    emb_dim: int = 16,
+    emit_linguistics: bool = False,
+    cache_max_entries: int | None = None,
+    chunk_rows: int = 2048,
+    norm_col: str = "norm_text",
+):
+    """``mapInArrow`` twin of :func:`make_fused_featurize_udf` — same
+    per-token vector table, same bounded executor-lifetime cache, same
+    outputs bit-for-bit, minus two full copies of the feature bytes.
+
+    The pandas_udf path materialized the batch matrix three times:
+    ``V[ids]`` gather, ``.tobytes()``, and one ``bytes`` slice per row —
+    then pandas->Arrow copied the binary cells a fourth time (~19 GB of
+    memcpy per bench pass at the 1.1M-turn scale).  Here the binary column
+    is built ZERO-copy over the gathered matrix: a ``BinaryArray`` is its
+    offsets plus one contiguous data buffer, so ``pa.py_buffer(stacked)``
+    with a row-scaled offsets array IS the column (guide §4.2).  Only the
+    gather remains.
+
+    ``chunk_rows`` additionally bounds each *output* record batch: the
+    session's 10k-row Arrow batches amplify ~20-80x through this function
+    (feature blobs), and 100+ MB batches spike both the Python worker and
+    the JVM reader.  Input batches are processed (and yielded) in
+    zero-copy slices of at most ``chunk_rows`` rows, sized so one output
+    batch stays in the tens of MB; the cap also keeps the int32 binary
+    offsets far from overflow at any (max_seq_length, vocab) shape.
+    """
+    import pyarrow as pa
+
+    from deep_ner_spark import textfns
+
+    S = len(vocab)
+    vocab_index = {s: i for i, s in enumerate(vocab)}
+    width = feature_width(vocab, emb_dim)
+    bos_col = emb_dim + S + 1
+    eos_col = emb_dim + S + 2
+    row_bytes = width * 4
+    # int32 Arrow offsets: keep a chunk's payload well under 2^31 bytes
+    chunk_rows = max(
+        1, min(chunk_rows, (1 << 30) // max(max_seq_length * row_bytes, 1))
+    )
+
+    state = {"V": np.zeros((1024, width), dtype=np.float32), "n": 0, "idx": {}}
+    if cache_max_entries is None:
+        cache_max_entries = max(int(50_000_000 / max(width, 1)), 65_536)
+
+    def row_of(tok: str, is_first: bool, parity: int) -> int:
+        key = (tok, is_first, parity)
+        idx = state["idx"]
+        i = idx.get(key)
+        if i is None:
+            shape = textfns.shape_of_string(tok)
+            p, d = textfns._pos_dep_cached(tok, is_first, parity)
+            v = np.zeros(width, dtype=np.float32)
+            v[:emb_dim] = textfns.hash_embedding(tok, emb_dim)
+            v[emb_dim + vocab_index.get(shape, S)] = 1.0
+            v[emb_dim + S + 3:] = textfns.pos_dep_one_hot(p, d)
+            i = state["n"]
+            if i == state["V"].shape[0]:
+                state["V"] = np.concatenate([state["V"], np.zeros_like(state["V"])])
+            state["V"][i] = v
+            state["n"] = i + 1
+            idx[key] = i
+        return i
+
+    def fn(batches):
+        for rb in batches:
+            ncol = rb.schema.get_field_index(norm_col)
+            for off in range(0, rb.num_rows, chunk_rows):
+                sub = rb.slice(off, min(chunk_rows, rb.num_rows - off))
+                # bound the executor-lifetime cache BETWEEN chunks (a
+                # mid-chunk reset would orphan row ids already collected)
+                if state["n"] >= cache_max_entries:
+                    state["V"] = np.zeros((1024, width), dtype=np.float32)
+                    state["n"] = 0
+                    state["idx"] = {}
+                texts = sub.column(ncol).to_pylist()
+                ids: list = []
+                lens: list = []
+                toks_l: list = []
+                starts_l: list = []
+                ends_l: list = []
+                if emit_linguistics:
+                    shapes_l, pos_l, dep_l = [], [], []
+                for text in texts:
+                    if text is None:
+                        text = ""
+                    triples = textfns.tokenize_with_bounds(text)
+                    toks = [t for t, _, _ in triples]
+                    n = min(len(toks), max_seq_length)
+                    for i in range(n):
+                        ids.append(row_of(toks[i], i == 0, i & 1))
+                    lens.append(n)
+                    toks_l.append(toks)
+                    starts_l.append([s for _, s, _ in triples])
+                    ends_l.append([e for _, _, e in triples])
+                    if emit_linguistics:
+                        shapes_l.append([textfns.shape_of_string(t) for t in toks])
+                        tags = [
+                            textfns.heuristic_pos_dep(t, i)
+                            for i, t in enumerate(toks)
+                        ]
+                        pos_l.append([p for p, _ in tags])
+                        dep_l.append([d for _, d in tags])
+                # one gather for the whole chunk, then vectorized BOS/EOS
+                # scatters (fancy indexing copies rows, never aliasing V)
+                stacked = state["V"][np.asarray(ids, dtype=np.int64)]
+                lens_np = np.asarray(lens, dtype=np.int64)
+                offs = np.zeros(len(lens) + 1, dtype=np.int64)
+                np.cumsum(lens_np, out=offs[1:])
+                nonempty = offs[:-1][lens_np > 0]
+                last_rows = offs[1:][lens_np > 0] - 1
+                if len(nonempty):
+                    stacked[nonempty, bos_col] = 1.0
+                    stacked[last_rows, eos_col] = 1.0
+                # zero-copy binary column: offsets over the gathered buffer
+                feats = pa.Array.from_buffers(
+                    pa.binary(),
+                    len(lens),
+                    [
+                        None,
+                        pa.py_buffer((offs * row_bytes).astype(np.int32)),
+                        pa.py_buffer(stacked),
+                    ],
+                )
+                arrays = [sub.column(i) for i in range(sub.num_columns)]
+                names = list(sub.schema.names)
+                arrays.append(pa.array(toks_l, type=pa.list_(pa.string())))
+                names.append("tokens")
+                arrays.append(pa.array(starts_l, type=pa.list_(pa.int32())))
+                names.append("starts")
+                arrays.append(pa.array(ends_l, type=pa.list_(pa.int32())))
+                names.append("ends")
+                if emit_linguistics:
+                    for nm, vals in (
+                        ("shapes", shapes_l),
+                        ("pos_tags", pos_l),
+                        ("dep_tags", dep_l),
+                    ):
+                        arrays.append(pa.array(vals, type=pa.list_(pa.string())))
+                        names.append(nm)
+                arrays.append(feats)
+                names.append("features")
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return fn
+
+
 def featurize_fused(
     slim_turns: DataFrame,
     vocab: Tuple[str, ...],
@@ -413,30 +564,40 @@ def featurize_fused(
     text_col: str = "text",
     emit_linguistics: bool = False,
 ) -> DataFrame:
-    """Fused normalize+tokenize+featurize over windowed slim turns."""
+    """Fused normalize+tokenize+featurize over windowed slim turns.
+
+    Runs as ONE ``mapInArrow`` pass (r8; previously a struct pandas_udf):
+    the slim columns pass through as untouched Arrow buffers, the feature
+    blobs are emitted zero-copy (see
+    :func:`make_fused_featurize_arrow_fn`), and each output record batch
+    is bounded to ``chunk_rows`` rows so the 20-80x byte amplification of
+    the blob column cannot produce 100+ MB batches on either side of the
+    boundary.  Because ``mapInArrow`` is opaque over all its input
+    columns, every upstream window stage stays live no matter which
+    output columns a consumer selects — the bench-agg pruning hazard of
+    the struct-UDF form is gone by construction.
+    """
     from deep_ner_spark.functions.text import normalize_text_col
 
-    udf = make_fused_featurize_udf(
+    base = slim_turns.withColumn("norm_text", normalize_text_col(F.col(text_col)))
+    fn = make_fused_featurize_arrow_fn(
         vocab, max_seq_length, emb_dim, emit_linguistics=emit_linguistics
     )
-    out = slim_turns.withColumn(
-        "norm_text", normalize_text_col(F.col(text_col))
-    ).withColumn("__t", udf(F.col("norm_text")))
-    struct_cols = [
-        F.col("__t.tokens").alias("tokens"),
-        F.col("__t.starts").alias("starts"),
-        F.col("__t.ends").alias("ends"),
+    new_fields = [
+        T.StructField("tokens", T.ArrayType(T.StringType())),
+        T.StructField("starts", T.ArrayType(T.IntegerType())),
+        T.StructField("ends", T.ArrayType(T.IntegerType())),
     ]
     if emit_linguistics:
-        struct_cols += [
-            F.col("__t.shapes").alias("shapes"),
-            F.col("__t.pos").alias("pos_tags"),
-            F.col("__t.dep").alias("dep_tags"),
+        new_fields += [
+            T.StructField("shapes", T.ArrayType(T.StringType())),
+            T.StructField("pos_tags", T.ArrayType(T.StringType())),
+            T.StructField("dep_tags", T.ArrayType(T.StringType())),
         ]
-    struct_cols.append(F.col("__t.features").alias("features"))
+    new_fields.append(T.StructField("features", T.BinaryType()))
+    out_schema = T.StructType(list(base.schema.fields) + new_fields)
     return (
-        out.select("*", *struct_cols)
-        .drop("__t")
+        base.mapInArrow(fn, out_schema)
         .withColumn("n_tokens", F.least(F.size("tokens"), F.lit(max_seq_length)))
         .withColumn("feature_width", F.lit(feature_width(vocab, emb_dim)))
     )

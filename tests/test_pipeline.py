@@ -213,3 +213,68 @@ def test_fused_featurize_cache_cap_resets_without_changing_output():
             assert list(got[c].map(bytes) if c == "features" else got[c].map(tuple)) == list(
                 ref[c].map(bytes) if c == "features" else ref[c].map(tuple)
             ), c
+
+
+def test_arrow_featurize_fn_matches_pandas_udf_bitwise(spark):
+    """The r8 mapInArrow featurize (zero-copy binary column, chunked
+    output batches) must emit byte-identical features and identical
+    token/bounds arrays to the struct-pandas_udf path it replaced,
+    including None/empty texts, truncation past max_seq_length, the
+    emit_linguistics variant, and a chunk size that forces mid-batch
+    splits."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from deep_ner_spark.operators.features import (
+        make_fused_featurize_arrow_fn,
+        make_fused_featurize_udf,
+    )
+
+    vocab = ("a", "A", "Aa", "D")
+    texts = [
+        "alpha beta 42 CamelCase",
+        None,
+        "",
+        "x " * 40,  # truncates past max_seq_length=8
+        "Gamma—delta v2.7, ok?",
+    ]
+    for ling in (False, True):
+        ref = make_fused_featurize_udf(
+            vocab, 8, emb_dim=4, emit_linguistics=ling
+        ).func(pd.Series(texts))
+        rb = pa.RecordBatch.from_arrays(
+            [pa.array(["meta"] * len(texts)), pa.array(texts)],
+            names=["other", "norm_text"],
+        )
+        fn = make_fused_featurize_arrow_fn(
+            vocab, 8, emb_dim=4, emit_linguistics=ling, chunk_rows=2
+        )
+        got = pa.Table.from_batches(list(fn(iter([rb])))).to_pandas()
+        assert list(got["other"]) == ["meta"] * len(texts)  # passthrough
+        name_map = {"pos": "pos_tags", "dep": "dep_tags"}
+        for c in ref.columns:
+            g = got[name_map.get(c, c)]
+            if c == "features":
+                assert [bytes(x) for x in g] == [bytes(x) for x in ref[c]], c
+            else:
+                assert [list(x) for x in g] == [list(x) for x in ref[c]], c
+
+
+def test_arrow_featurize_cache_cap_resets_without_changing_output():
+    """Same bounded-cache contract as the pandas_udf path: a capped arrow
+    fn emits byte-identical features across repeated calls."""
+    import pyarrow as pa
+
+    from deep_ner_spark.operators.features import make_fused_featurize_arrow_fn
+
+    vocab = ("a", "A", "D")
+    texts = ["alpha beta 42", "Gamma delta", "x1 y2 z3 alpha", "", "beta 42"]
+    rb = pa.RecordBatch.from_arrays([pa.array(texts)], names=["norm_text"])
+    free = make_fused_featurize_arrow_fn(vocab, 8, emb_dim=4)
+    ref = pa.Table.from_batches(list(free(iter([rb])))).to_pandas()
+    capped = make_fused_featurize_arrow_fn(vocab, 8, emb_dim=4, cache_max_entries=2)
+    for _ in range(3):
+        got = pa.Table.from_batches(list(capped(iter([rb])))).to_pandas()
+        assert [bytes(x) for x in got["features"]] == [
+            bytes(x) for x in ref["features"]
+        ]

@@ -166,11 +166,14 @@ def test_bench_flagship_agg_keeps_all_stages_live(tables, spark):
     tree = plan.split("== Initial Plan ==")[0]
     n_windows = len(re.findall(r"Window", tree))
     assert n_windows >= 4, f"window stages pruned from bench plan:\n{tree}"
-    assert "ArrowEvalPython" in plan  # featurize UDF live
-    # and the pruning hazard is real: dropping the window terms removes them
+    assert "MapInArrow" in plan  # featurize pass live (r8: mapInArrow)
+    # r8: mapInArrow is opaque over ALL its input columns, so the window
+    # stages stay live even under a lean agg — the round-1 pruning hazard
+    # the full agg was built against is now gone by construction (this
+    # also means the frozen bench agg measures the same work as before)
     lean = out.select(F.count("*"), F.sum(F.length("features")))
     lean_tree = plan_of(lean).split("== Initial Plan ==")[0]
-    assert "Window" not in lean_tree
+    assert "Window" in lean_tree
 
 
 def test_jaccard_default_uses_prefix_filtering(spark):
