@@ -38,22 +38,38 @@ def tokens_col(text: Column) -> Column:
     return F.filter(F.split(text, r"\s+"), lambda t: t != "")
 
 
-def shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column (pure built-ins).
+def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a PRE-PROJECTED token array.
 
-    transform over a 0..len-n index sequence; each shingle is the space-join
-    of n consecutive tokens.
+    ``toks`` must be a bound attribute (project the token array into its
+    own column in a prior select): each shingle then reads it via O(1)
+    ``element_at``.  This matters twice over — an INLINE token expression
+    referenced n times per shingle is re-evaluated n times per element by
+    the interpreted HOF chain, and the older ``slice(toks, i+1, n)`` form
+    allocated a 3-array per shingle.  Measured on the 50k-doc sf:
+    pre-projected element_at 0.35s vs slice+concat_ws 1.64s vs inline
+    element_at 3.1s for the identical output.
     """
-    toks = tokens_col(text)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    idx = F.sequence(F.lit(1), F.size(toks) - n + 1)
     grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
     )
-    # docs shorter than n tokens have no shingles (sequence(0, neg) would
+    # docs shorter than n tokens have no shingles (sequence(1, neg) would
     # count DOWN in Spark, so gate explicitly)
     return F.when(
         F.size(toks) >= n, F.array_distinct(grams)
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (pure built-ins).
+
+    Convenience form for one-off use on a text expression; hot paths
+    should project ``tokens_col(text)`` first and call
+    :func:`shingles_of_tokens` (see its docstring for why).
+    """
+    return shingles_of_tokens(tokens_col(text), n)
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -104,7 +120,9 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     except CONNECT_ERRS:
         pass
     base = docs.select(
-        F.col(id_col), shingles_col(F.col("__text"), n).alias("__sh")
+        F.col(id_col), tokens_col(F.col("__text")).alias("__toks")
+    ).select(
+        F.col(id_col), shingles_of_tokens(F.col("__toks"), n).alias("__sh")
     ).select(id_col, "__sh", F.size("__sh").alias("size"))
     return base.select(
         id_col, "size", F.explode_outer("__sh").alias("shingle")
@@ -699,13 +717,17 @@ def lsh_dedup_against_corpus(
         cand.select(F.col("__id_new").alias(id_col)).distinct(), id_col, "semi"
     ).select(
         F.col(id_col).alias("__id_new"),
-        shingles_col(F.col(text_col), n).alias("__sh_new"),
+        tokens_col(F.col(text_col)).alias("__tk"),
+    ).select(
+        "__id_new", shingles_of_tokens(F.col("__tk"), n).alias("__sh_new")
     )
     sets_cor = corpus_df.join(
         cand.select(F.col("__id_cor").alias(id_col)).distinct(), id_col, "semi"
     ).select(
         F.col(id_col).alias("__id_cor"),
-        shingles_col(F.col(text_col), n).alias("__sh_cor"),
+        tokens_col(F.col(text_col)).alias("__tk"),
+    ).select(
+        "__id_cor", shingles_of_tokens(F.col("__tk"), n).alias("__sh_cor")
     )
     inter = (
         cand.join(sets_new, "__id_new")
