@@ -67,19 +67,30 @@ def cosine_topk(
     with no shuffle until the per-query top-k window.  Output:
     (query_id, rank, neighbor_id, cosine).
     """
+    # norms are hoisted to each join INPUT: the join is a projection
+    # barrier, so each side's norm folds once per row instead of once per
+    # PAIR (the interpreted aggregate HOF was ~2/3 of the per-pair work).
+    # Bit-identical: same expression on the same input, and the final
+    # dot/(qn*dn) keeps the operation order of cosine_col.
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            norm_col(F.col(vec_col)).alias("__qn"),
         )
     )
-    d = data.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__dv"))
+    d = data.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__dv"),
+        norm_col(F.col(vec_col)).alias("__dn"),
+    )
     pairs = q.crossJoin(d)
     if not include_self:
         pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine_col(F.col("__qv"), F.col("__dv")).alias("cosine"),
+        (dot_col(F.col("__qv"), F.col("__dv")) / (F.col("__qn") * F.col("__dn"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -289,15 +300,20 @@ def ivf_cosine_topk(
             )
         )
     )
+    # per-side norms are hoisted below the join (a projection barrier):
+    # the interpreted aggregate HOF then folds once per ROW, not per pair,
+    # and dot/(qn*dn) keeps cosine_col's operation order bit-identically
     d = data.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__dv"),
+        norm_col(F.col(vec_col)).alias("__dn"),
         scored_lists.getItem(0)["list_id"].alias("__list"),
     )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qv"),
+            norm_col(F.col(vec_col)).alias("__qn"),
             F.explode(
                 F.transform(
                     F.slice(scored_lists, 1, n_probe), lambda s: s["list_id"]
@@ -315,7 +331,7 @@ def ivf_cosine_topk(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine_col(F.col("__qv"), F.col("__dv")).alias("cosine"),
+        (dot_col(F.col("__qv"), F.col("__dv")) / (F.col("__qn") * F.col("__dn"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -364,8 +380,14 @@ def embedding_near_dup_pairs(
     """
     planes = _hyperplanes(dim, n_planes, seed)
     b = lsh_bucket_col(F.col(vec_col), planes)
+    # the per-row norm rides the (materialized) slim projection: the
+    # bucket-local self-join then pays one dot HOF per pair instead of
+    # dot + two norm folds (bit-identical, see cosine_topk)
     tagged = data.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), b.alias("__bucket")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm_col(F.col(vec_col)).alias("__n"),
+        b.alias("__bucket"),
     )
     if materialize:
         try:
@@ -408,7 +430,10 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine_col(F.col("a.v"), F.col("b.v")).alias("cosine"),
+            (
+                dot_col(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.__n") * F.col("b.__n"))
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -442,15 +467,19 @@ def lsh_cosine_topk(
     Same output schema as cosine_topk.
     """
     planes = _hyperplanes(dim, n_planes, seed)
+    # norms hoisted below the join — one fold per row, not per pair
+    # (bit-identical, see cosine_topk)
     d = data.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__dv"),
+        norm_col(F.col(vec_col)).alias("__dn"),
         lsh_bucket_col(F.col(vec_col), planes).alias("__bucket"),
     )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qv"),
+            norm_col(F.col(vec_col)).alias("__qn"),
             F.explode(
                 lsh_probe_buckets_col(F.col(vec_col), planes, n_probe_buckets)
             ).alias("__bucket"),
@@ -462,7 +491,7 @@ def lsh_cosine_topk(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine_col(F.col("__qv"), F.col("__dv")).alias("cosine"),
+        (dot_col(F.col("__qv"), F.col("__dv")) / (F.col("__qn") * F.col("__dn"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
