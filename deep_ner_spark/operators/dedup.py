@@ -298,10 +298,27 @@ def jaccard_pairs(
             F.col("__sh").alias("__sh_b"),
             F.col("size").alias("size_b"),
         )
+        # explode(array(x)) is a Generate BARRIER: the downstream jaccard
+        # filter cannot be pushed below a generator's output, so the
+        # intersection is evaluated exactly ONCE per pair.  Without it,
+        # PushDownPredicate inlines the filter into the broadcast join's
+        # condition and the plan carries THREE array_intersect copies
+        # (2x in the join condition + 1x in the project) — measured
+        # 7.4s -> 3.9s on 18.5M candidates at the 50k-doc sf.
         out = (
             cand.join(wrap(arr_a), "id_a")
             .join(wrap(arr_b), "id_b")
-            .withColumn("inter", F.size(F.array_intersect("__sh_a", "__sh_b")).cast("long"))
+            .select(
+                "id_a",
+                "id_b",
+                "size_a",
+                "size_b",
+                F.explode(
+                    F.array(
+                        F.size(F.array_intersect("__sh_a", "__sh_b")).cast("long")
+                    )
+                ).alias("inter"),
+            )
         )
     else:
         a = sh.select(
@@ -734,7 +751,13 @@ def lsh_dedup_against_corpus(
         .join(sets_cor, "__id_cor")
         .select(
             "__id_new",
-            F.size(F.array_intersect("__sh_new", "__sh_cor")).alias("__inter"),
+            # explode(array(x)) Generate barrier: stops the threshold
+            # filter below from being pushed into the join condition,
+            # which would re-evaluate the intersection per copy (see
+            # jaccard_pairs)
+            F.explode(
+                F.array(F.size(F.array_intersect("__sh_new", "__sh_cor")))
+            ).alias("__inter"),
             F.size("__sh_new").alias("__sz_new"),
             F.size("__sh_cor").alias("__sz_cor"),
         )
