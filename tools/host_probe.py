@@ -11,7 +11,7 @@ plus a 32-process parallel burn, so a floor regression can be read
 against the host regime it was measured in.  Run it on a quiet box,
 immediately before or after a floor session batch:
 
-    python tools/host_probe.py [label]
+    python tools/host_probe.py [label | --label NAME | --label=NAME]
 
 Protocol: best-of-3 single-core 1.2M-iteration md5 burn (the same burn
 kernel as bench_cluster.md5_ceiling, bench_cluster.py:186), then one
@@ -44,7 +44,12 @@ def _burn_child(_: int) -> float:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--label"]
+    # accept: positional LABEL, "--label NAME", or "--label=NAME"
+    args = [
+        a[len("--label="):] if a.startswith("--label=") else a
+        for a in sys.argv[1:]
+        if a != "--label"
+    ]
     label = args[0] if args else ""
     _burn(100_000)  # warm the interpreter
     singles = [_burn() for _ in range(3)]
