@@ -2927,17 +2927,19 @@ def q_dedup_corpus_lsh(spark, sf_dir):
 # out of this round's sample all have green rows from the previous round.
 _SAMPLE_FIRST = [
     "flagship_featurize",
-    # round-7 rotation (tools/rotate_sample.py): the 9 entries whose last
-    # driver row is r5 — they fell outside the r6 50-entry window
-    "ann_recall_lsh",
-    "ann_recall_multiprobe",
-    "lsh_cosine_topk",
-    "lsh_cosine_topk_exhaustive",
-    "multimodal_audio_energy",
-    "multimodal_image_features",
-    "multimodal_video_frames",
-    "stratified_split",
-    "viterbi_decode_zero_transitions",
+    # round-8 rotation (tools/rotate_sample.py): the 9 entries whose last
+    # driver row is r6 — they fell outside the r7 50-entry window.  Two of
+    # them (streaming_asof, dedup_corpus_lsh) had r8 optimization work, so
+    # fresh driver rows double as regression evidence.
+    "dedup_corpus_exact",
+    "dedup_corpus_lsh",
+    "embedding_near_dup",
+    "ivf_cosine_topk_exhaustive",
+    "predict_entities",
+    "predict_entities_shape_head",
+    "rolling_fingerprint",
+    "stratified_sample_docs",
+    "streaming_asof",
 ]
 
 
