@@ -271,14 +271,13 @@ def jaccard_pairs(
         # never re-scanned for this step (shingle sets are distinct by
         # construction, so collect_list reconstructs the set and order is
         # irrelevant to array_intersect).
-        # left-semi against the (non-distinct) id union: semi-join
-        # semantics dedupe the build side, so the explicit distinct's
-        # aggregate exchange is pure overhead at every scale
-        cand_ids = cand.select(F.col("id_a").alias(id_col)).union(
-            cand.select(F.col("id_b").alias(id_col))
+        cand_ids = (
+            cand.select(F.col("id_a").alias(id_col))
+            .union(cand.select(F.col("id_b").alias(id_col)))
+            .distinct()
         )
         cand_arrays = _mat(
-            sh_i.join(cand_ids, id_col, "semi")
+            sh_i.join(cand_ids, id_col)
             .groupBy(id_col, "size")
             .agg(F.collect_list("sid").alias("__sh"))
         )
@@ -732,7 +731,7 @@ def lsh_dedup_against_corpus(
     # for ALL-PAIRS discovery (jaccard_pairs' PPJoin) — here the pair list
     # is already known.
     sets_new = new_df.join(
-        cand.select(F.col("__id_new").alias(id_col)), id_col, "semi"
+        cand.select(F.col("__id_new").alias(id_col)).distinct(), id_col, "semi"
     ).select(
         F.col(id_col).alias("__id_new"),
         tokens_col(F.col(text_col)).alias("__tk"),
@@ -740,7 +739,7 @@ def lsh_dedup_against_corpus(
         "__id_new", shingles_of_tokens(F.col("__tk"), n).alias("__sh_new")
     )
     sets_cor = corpus_df.join(
-        cand.select(F.col("__id_cor").alias(id_col)), id_col, "semi"
+        cand.select(F.col("__id_cor").alias(id_col)).distinct(), id_col, "semi"
     ).select(
         F.col(id_col).alias("__id_cor"),
         tokens_col(F.col(text_col)).alias("__tk"),
