@@ -353,6 +353,45 @@ def test_ivf_kmeans_codebook(spark):
     assert full == exact3
 
 
+def test_ivf_codebook_cache_misses_on_fixture_regeneration(spark, tmp_path):
+    """The entry harness's tmpfs codebook cache is keyed on the fixture's
+    CONTENT stamp, not just its path: regenerating embeddings.parquet in
+    place (different bytes, same path) must miss the cache and refit, so
+    a stale codebook can never be served against fresh data (the r6
+    streaming-cache bug class, IVF edition — r7 VERDICT task 7).  Fails
+    if the key drops the `_content_stamp` component."""
+    import __spark_entry__ as e
+
+    rng = np.random.default_rng(5)
+
+    def write_emb(scale):
+        vecs = (rng.standard_normal((40, 8)) * scale).astype("float32")
+        df = spark.createDataFrame(
+            pd.DataFrame({
+                "vec_id": range(40),
+                "embedding": [list(map(float, v)) for v in vecs],
+            })
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "embeddings.parquet")
+        )
+
+    write_emb(1.0)
+    cb1 = e._ivf_codebook_cached(spark, str(tmp_path), n_lists=2,
+                                 kmeans_iters=2, seed=7)
+    # identical bytes -> cache hit, bit-equal codebook
+    cb2 = e._ivf_codebook_cached(spark, str(tmp_path), n_lists=2,
+                                 kmeans_iters=2, seed=7)
+    assert cb2 == cb1
+    # regenerate IN PLACE with different vectors: the content stamp
+    # (mtime_ns+size) changes, so the key must change and the codebook
+    # must be refit from the new data — a path-only key would return cb1
+    write_emb(25.0)
+    cb3 = e._ivf_codebook_cached(spark, str(tmp_path), n_lists=2,
+                                 kmeans_iters=2, seed=7)
+    assert cb3 != cb1
+
+
 def test_jaccard_prefix_exact_at_all_thresholds(spark):
     """The PPJoin prefix + length + positional candidate filters must be
     EXACT (no lost pairs) at any threshold — prefix and naive strategies
